@@ -1,0 +1,251 @@
+"""Deterministic KB / gazetteer / corpus-derivation fixtures.
+
+The rebuild replaces the reference's live Wikipedia API (O-2..O-4) with a
+cached KB dimension table.  All fixture entities anchor the reference's own
+test suite (see FIXTURES.md; citations: /root/reference/tests/test_linker.py:18-33,
+tests/test_wikipedia_service.py:18-49, tests/test_wikipedia_fallbacks.py:84-370).
+
+The same constants are rendered two ways:
+  * `*_df(spark)`    — Spark DataFrames (broadcast dimension side)
+  * `*_cte()`        — DuckDB SQL CTE text (driver oracle side)
+so the driver's Spark-vs-DuckDB comparison exercises identical inputs.
+
+Everything is seed-free and order-stable: pure literals + derivations.
+"""
+
+from __future__ import annotations
+
+from . import refsem
+
+# ---------------------------------------------------------------------------
+# KB pages: one row per (title, lang).  14-field record shape follows the
+# reference's format_wiki_page (data_processor.py:183-198).
+# columns: title, lang, title_other, abstract, wikidata_id, categories,
+#          internal_links, infobox_type, geo_lat, geo_lon, thumbnail_url
+# ---------------------------------------------------------------------------
+
+_K = ("title", "lang", "title_other", "abstract", "wikidata_id", "categories",
+      "internal_links", "infobox_type", "geo_lat", "geo_lon", "thumbnail_url")
+
+
+def _kb(*vals):
+    return dict(zip(_K, vals))
+
+
+KB_PAGES: list[dict] = [
+    _kb("Zugspitze", "de", "Zugspitze", "Die Zugspitze ist der höchste Berg Deutschlands.",
+        "Q170230", ["Mountains of Germany"], ["Alpen", "Garmisch-Partenkirchen"],
+        "mountain", 47.4, 11.0, "https://img.test/zugspitze.jpg"),
+    _kb("Zugspitze", "en", "Zugspitze", "The Zugspitze is the highest peak of Germany.",
+        "Q170230", ["Mountains of Germany"], ["Alps"], "mountain", 47.4, 11.0, None),
+    _kb("Albert Einstein", "de", "Albert Einstein", "Albert Einstein war ein theoretischer Physiker.",
+        "Q937", ["German physicists"], ["Physics", "Relativity"], "scientist", 52.5, 13.4,
+        "https://img.test/einstein.jpg"),
+    _kb("Albert Einstein", "en", "Albert Einstein", "Albert Einstein was a theoretical physicist.",
+        "Q937", ["German physicists"], ["Physics", "Relativity"], "scientist", 52.5, 13.4, None),
+    _kb("Berlin", "de", "Berlin", "Hauptstadt Deutschlands", "Q64",
+        ["Stadt in Deutschland"], ["Brandenburg"], "city", 52.5, 13.4, None),
+    _kb("Berlin", "en", "Berlin", "Capital of Germany", "Q64",
+        ["Cities in Germany"], ["Brandenburg"], "city", 52.5, 13.4, None),
+    _kb("Deutschland", "de", "Germany", "Land in Europa", "Q183",
+        ["Staat in Europa"], ["Europa"], "country", 51.0, 10.0, None),
+    _kb("Germany", "en", "Deutschland", "Country in Europe", "Q183",
+        ["Countries in Europe"], ["Europe"], "country", 51.0, 10.0, None),
+    _kb("München", "de", "Munich", "München ist die Landeshauptstadt Bayerns.", "Q1726",
+        ["Stadt in Bayern"], ["Bayern"], "city", 48.1, 11.6, None),
+    _kb("Munich", "en", "München", "Munich is the capital of Bavaria.", "Q1726",
+        ["Cities in Bavaria"], ["Bavaria"], "city", 48.1, 11.6, None),
+    _kb("Bundestag", "de", "Bundestag", "Der Bundestag ist das Parlament Deutschlands.", "Q154797",
+        ["Parlament"], ["Reichstag"], "organization", None, None, None),
+    _kb("Bundestag", "en", "Bundestag", "The Bundestag is the German federal parliament.", "Q154797",
+        ["Parliaments"], ["Reichstag building"], "organization", None, None, None),
+    _kb("Weiß", "de", "White", "Weiß ist die hellste Farbe.", "Q23444",
+        ["Farbe"], ["Licht"], None, None, None, None),
+    _kb("White", "en", "Weiß", "White is the lightest color.", "Q23444",
+        ["Colors"], ["Light"], None, None, None, None),
+    # incomplete page: abstract missing -> fails the completeness gate (O-11)
+    _kb("Entity001", "de", None, None, "Q9001", [], [], None, None, None, None),
+]
+
+# deterministic filler pages (broadcast-side padding; complete)
+for _i in range(2, 51):
+    KB_PAGES.append(_kb(f"Entity{_i:03d}", "de", None,
+                        f"Beschreibung von Entity{_i:03d}.", f"Q{9000 + _i}",
+                        [f"Kategorie{_i % 5}"], [], None, None, None, None))
+
+# (from_title, to_title, lang)  — O-14, ref client.py:237-243 / service.py:190-199
+KB_REDIRECTS: list[tuple[str, str, str]] = [
+    ("Einstein", "Albert Einstein", "de"),
+    ("Einstein", "Albert Einstein", "en"),
+    ("BRD", "Deutschland", "de"),
+]
+
+# (surface, label, type) — the deterministic extractor's dictionary; surfaces
+# are matched by substring containment in the document text (mention label =
+# the canonical surface label; genitive forms map to their lemma).
+GAZETTEER: list[tuple[str, str, str]] = [
+    ("Zugspitze", "Zugspitze", "LOCATION"),
+    ("Deutschlands", "Deutschland", "LOCATION"),
+    ("Deutschland", "Deutschland", "LOCATION"),
+    ("Albert Einstein", "Albert Einstein", "PERSON"),
+    ("Einstein", "Einstein", "PERSON"),
+    ("Der Bundestag", "Der Bundestag", "ORGANIZATION"),
+    ("Berlin", "Berlin", "LOCATION"),
+    ("Muenchen", "Muenchen", "LOCATION"),
+    ("MÜNCHEN", "MÜNCHEN", "LOCATION"),
+    ("Weiß", "Weiß", "CONCEPT"),
+    ("Entity001", "Entity001", "CONCEPT"),
+    ("Phantasia", "Phantasia", "CONCEPT"),
+    ("Germany", "Germany", "LOCATION"),
+]
+
+# Sentences injected into the synthetic corpus by doc_id % len(SENTENCES);
+# together with SKEW_SENTENCE (appended when doc_id % 2 = 0 -> "Berlin" is a
+# hot join key in ~50% of docs, the skew scenario of the north rule).
+SENTENCES: list[str] = [
+    "Die Zugspitze ist der höchste Berg Deutschlands.",
+    "Albert Einstein wurde in Ulm geboren.",
+    "Einstein entwickelte die Relativitätstheorie.",
+    "Der Bundestag tagt in Berlin.",
+    "Muenchen liegt in Bayern.",
+    "Die Farbe Weiß symbolisiert Reinheit.",
+    "Deutschland ist ein Land in Europa.",
+    "Entity001 ist ein Beispiel.",
+    "Phantasia ist unbekannt.",
+    "Albert Einstein developed the theory of relativity.",
+    "Berlin is the capital of Germany.",
+    "MÜNCHEN ist eine Stadt in Deutschland.",
+]
+
+SKEW_SENTENCE = "Berlin ist die Hauptstadt."
+
+DEFAULT_MAX_ENTITIES = 10  # ref app/api/v1/linker.py:19 (default 10, max 100)
+
+
+# ---------------------------------------------------------------------------
+# Derived alias dictionary (O-18 precomputed KB-side): for every KB title,
+# identity (priority 0) + name variations in fallback-probe order (1..n).
+# ---------------------------------------------------------------------------
+
+
+def alias_rows() -> list[tuple[str, str, str, int]]:
+    """(alias, title, lang, alias_prio); de-duplicated per (alias, lang) keeping
+    the lowest priority, ties broken by title for determinism."""
+    raw: list[tuple[str, str, str, int]] = []
+    for page in KB_PAGES:
+        t, lang = page["title"], page["lang"]
+        raw.append((t, t, lang, 0))
+        for i, v in enumerate(refsem.name_variations(t)):
+            raw.append((v, t, lang, i + 1))
+    raw.sort(key=lambda r: (r[0], r[2], r[3], r[1]))
+    out: list[tuple[str, str, str, int]] = []
+    seen: set[tuple[str, str]] = set()
+    for alias, title, lang, prio in raw:
+        if (alias, lang) not in seen:
+            seen.add((alias, lang))
+            out.append((alias, title, lang, prio))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-side constructors
+# ---------------------------------------------------------------------------
+
+
+def kb_pages_df(spark):
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("title", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("title_other", T.StringType()),
+        T.StructField("abstract", T.StringType()),
+        T.StructField("wikidata_id", T.StringType()),
+        T.StructField("categories", T.ArrayType(T.StringType())),
+        T.StructField("internal_links", T.ArrayType(T.StringType())),
+        T.StructField("infobox_type", T.StringType()),
+        T.StructField("geo_lat", T.DoubleType()),
+        T.StructField("geo_lon", T.DoubleType()),
+        T.StructField("thumbnail_url", T.StringType()),
+    ])
+    return spark.createDataFrame([tuple(p[k] for k in _K) for p in KB_PAGES], schema)
+
+
+def redirects_df(spark):
+    return spark.createDataFrame(KB_REDIRECTS, "from_title string, to_title string, lang string")
+
+
+def gazetteer_df(spark):
+    return spark.createDataFrame(GAZETTEER, "surface string, label string, type string")
+
+
+def aliases_df(spark):
+    return spark.createDataFrame(alias_rows(), "alias string, title string, lang string, alias_prio int")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-side CTE renderers (oracle SQL).  Literal-only; no parameters.
+# ---------------------------------------------------------------------------
+
+
+def _q(s) -> str:
+    if s is None:
+        return "NULL"
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _arr(xs) -> str:
+    if xs is None:
+        return "NULL"
+    return "[" + ", ".join(_q(x) for x in xs) + "]"
+
+
+def _num(x) -> str:
+    return "NULL" if x is None else repr(float(x))
+
+
+def kb_pages_cte() -> str:
+    rows = ", ".join(
+        "({}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {})".format(
+            _q(p["title"]), _q(p["lang"]), _q(p["title_other"]), _q(p["abstract"]),
+            _q(p["wikidata_id"]), _arr(p["categories"]), _arr(p["internal_links"]),
+            _q(p["infobox_type"]), _num(p["geo_lat"]), _num(p["geo_lon"]),
+            _q(p["thumbnail_url"]))
+        for p in KB_PAGES)
+    return ("kb(title, lang, title_other, abstract, wikidata_id, categories, "
+            f"internal_links, infobox_type, geo_lat, geo_lon, thumbnail_url) AS (VALUES {rows})")
+
+
+def redirects_cte() -> str:
+    rows = ", ".join(f"({_q(a)}, {_q(b)}, {_q(lang)})" for a, b, lang in KB_REDIRECTS)
+    return f"redirects(from_title, to_title, lang) AS (VALUES {rows})"
+
+
+def gazetteer_cte() -> str:
+    rows = ", ".join(f"({_q(s)}, {_q(l)}, {_q(t)})" for s, l, t in GAZETTEER)
+    return f"gaz(surface, label, type) AS (VALUES {rows})"
+
+
+def aliases_cte() -> str:
+    rows = ", ".join(f"({_q(a)}, {_q(t)}, {_q(lang)}, {p})" for a, t, lang, p in alias_rows())
+    return f"aliases(alias, title, lang, alias_prio) AS (VALUES {rows})"
+
+
+def sentences_case_sql(col: str = "doc_id") -> str:
+    """CASE expression mapping doc_id % 12 to the injected sentence."""
+    whens = " ".join(f"WHEN {i} THEN {_q(s)}" for i, s in enumerate(SENTENCES))
+    return f"(CASE {col} % {len(SENTENCES)} {whens} END)"
+
+
+def docs_cte(documents_rel: str = "documents") -> str:
+    """Derivation of the Common-Crawl-shaped corpus (url, warc_ts, body_text,
+    lang, link_lang) from the driver's `documents` table — identical to
+    sources.tables.docs_table on the Spark side."""
+    return (
+        f"docs AS (SELECT "
+        f"'https://test.example/' || lang || '/doc' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, "
+        f"TIMESTAMP '2025-01-01 00:00:00' + to_minutes(doc_id) AS warc_ts, "
+        f"text || ' ' || {sentences_case_sql()} || "
+        f"(CASE WHEN doc_id % 2 = 0 THEN ' ' || {_q(SKEW_SENTENCE)} ELSE '' END) AS body_text, "
+        f"lang, CASE WHEN lang = 'de' THEN 'de' ELSE 'en' END AS link_lang, doc_id "
+        f"FROM {documents_rel})"
+    )

@@ -1,0 +1,223 @@
+"""Entity linking: the reference's sequential per-entity fallback chain
+re-expressed as one alias-expansion join + one priority window.
+
+Reference semantics being reproduced (file:line into /root/reference):
+  * fallback chain order (strategies.py:168-225):
+      direct(lang) → direct('de') [en only] → name variations(lang) →
+      capitalization variants(lang)  — the variant probes are a subset of the
+      variations, so the whole chain collapses to an ordered probe list:
+      priority 0 = identity/lang, 1 = identity/'de', 2+i = variation i.
+  * per-probe redirect resolution (service.py:190-199, client.py:237-243)
+  * page-completeness gate (strategies.py:20-24): a candidate only wins if
+    (title) and (abstract) are present.
+  * first-complete-hit-wins = row_number over (mention) ordered by priority
+    (O-17/O-27).
+  * output projection + prompt-data enhancement + DBpedia finalization
+    (data_processor.py:178-343; linker.py:149-214).
+
+Scale design: the mention side is first reduced to DISTINCT (label, lang)
+keys (O-30 fetch-once — this also collapses head-entity skew: distinct keys
+are unique), the redirect/alias/KB dimensions are broadcast, and the single
+potentially-skewed operation — joining resolved pages back to the mention
+fact table — is an equi-join on label that AQE skew-split handles; an
+explicit salted variant is provided for clusters where the resolved side
+exceeds broadcast size (see ``join_back``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import fixtures
+from ..fixtures import aliases_df, kb_pages_df, redirects_df
+
+# Ordered variation candidates (must mirror refsem.name_variations).  Each is
+# (spark Column builder); inapplicable candidates yield NULL and are filtered.
+
+
+def _variation_array(label):
+    return F.array(
+        F.initcap(label),
+        F.lower(label),
+        F.upper(label),
+        F.when(label.startswith("Der "), F.expr("substring(label, 5)")),
+        F.when(label.startswith("Die "), F.expr("substring(label, 5)")),
+        F.when(label.startswith("Das "), F.expr("substring(label, 5)")),
+        F.expr("replace(label, 'ß', 'ss')"),
+        F.expr("replace(label, 'ä', 'ae')"),
+        F.expr("replace(label, 'ö', 'oe')"),
+        F.expr("replace(label, 'ü', 'ue')"),
+    )
+
+
+def probe_keys_df(mention_keys: DataFrame) -> DataFrame:
+    """distinct (label, link_lang) → (label, link_lang, probe, probe_lang, prio).
+
+    prio 0: identity in link_lang; prio 1: identity in 'de' (only when
+    link_lang ≠ 'de', strategies.py:197-204); prio 2+i: i-th de-duplicated
+    name variation in link_lang (order-preserving dedup, original excluded,
+    strategies.py:227-258).
+    """
+    lbl = F.col("label")
+    identity = mention_keys.select(
+        "label", "link_lang", lbl.alias("probe"),
+        F.col("link_lang").alias("probe_lang"), F.lit(0).alias("prio"))
+    lang_fb = (mention_keys.filter(F.col("link_lang") != "de")
+               .select("label", "link_lang", lbl.alias("probe"),
+                       F.lit("de").alias("probe_lang"), F.lit(1).alias("prio")))
+    vars_ = (
+        mention_keys
+        .withColumn("_vars", F.array_distinct(
+            F.filter(_variation_array(lbl), lambda v: v.isNotNull() & (v != lbl))))
+        .select("label", "link_lang", F.posexplode("_vars").alias("_pos", "probe"))
+        .select("label", "link_lang", "probe",
+                F.col("link_lang").alias("probe_lang"),
+                (F.col("_pos") + F.lit(2)).alias("prio"))
+    )
+    return identity.unionByName(lang_fb).unionByName(vars_)
+
+
+def resolve_candidates(probes: DataFrame,
+                       redirects: DataFrame,
+                       aliases: DataFrame,
+                       kb: DataFrame) -> DataFrame:
+    """probe keys → complete KB candidate pages, best-first.
+
+    redirect coalesce (O-14) → alias-dictionary lookup (O-18, broadcast) →
+    KB page join (O-15) → completeness gate (O-11).  All dimension joins are
+    broadcast: zero shuffle on the probe side.
+    """
+    r = F.broadcast(redirects.withColumnRenamed("lang", "r_lang"))
+    a = F.broadcast(aliases.withColumnRenamed("lang", "a_lang"))
+    k = F.broadcast(kb.withColumnRenamed("lang", "k_lang"))
+    return (
+        probes
+        .join(r, (probes.probe == r.from_title) & (probes.probe_lang == r.r_lang), "left")
+        .withColumn("resolved", F.coalesce(F.col("to_title"), F.col("probe")))
+        .drop("from_title", "to_title", "r_lang")
+        .join(a, (F.col("resolved") == a["alias"]) & (F.col("probe_lang") == a["a_lang"]), "inner")
+        .drop("alias", "a_lang")
+        .join(k, (a["title"] == k["title"]) & (F.col("probe_lang") == k["k_lang"]), "inner")
+        .drop(k["title"]).drop("k_lang")
+        .filter(F.col("abstract").isNotNull() & (F.col("abstract") != ""))
+    )
+
+
+def pick_best(candidates: DataFrame) -> DataFrame:
+    """O-17/O-27: first-complete-hit-wins via one window; deterministic ties."""
+    w = Window.partitionBy("label", "link_lang").orderBy("prio", "alias_prio", "title")
+    return (candidates
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "probe", "resolved", "prio", "alias_prio")
+            .withColumnRenamed("probe_lang", "hit_lang"))
+
+
+def join_back(mentions: DataFrame, resolved: DataFrame,
+              broadcast_resolved: bool = True, n_salt: int = 0) -> DataFrame:
+    """Attach resolved pages to the mention fact table (left join on label).
+
+    Default: broadcast the resolved side (distinct labels ≪ mentions).  When
+    it cannot broadcast at cluster scale, set n_salt>0: the mention side gets
+    a salt from hash(url) and the resolved side is exploded ×n_salt so a head
+    entity ("Berlin" in ~50% of pages) spreads over n_salt reducers instead
+    of one straggler.  AQE skew-join remains the backstop.
+    """
+    key = ["label", "link_lang"]
+    if n_salt and n_salt > 1:
+        m = mentions.withColumn("_salt", F.pmod(F.hash("url"), F.lit(n_salt)))
+        r = resolved.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        out = m.join(r, key + ["_salt"], "left").drop("_salt")
+    else:
+        r = F.broadcast(resolved) if broadcast_resolved else resolved
+        out = mentions.join(r, key, "left")
+    return out
+
+
+def to_entities(joined: DataFrame) -> DataFrame:
+    """Project joined mention×page rows into the final entity record.
+
+    Reproduces format_wiki_page (data_processor.py:178-205), the prompt-data
+    enhancement (:232-295 — prompt metadata is {label_de: mention label},
+    linker.py:66-71), finalize_dbpedia_uri (:297-343) and the linked-status
+    rule (linker.py:164-167), as one select of coalesce/when chains.
+    """
+    found = F.col("title").isNotNull()
+    title_de = F.when(F.col("probe_lang2") == "de", F.col("title")).otherwise(F.col("title_other"))
+    title_en = F.when(F.col("probe_lang2") == "en", F.col("title")).otherwise(F.col("title_other"))
+
+    def wiki_url_col(title, lang):
+        return F.when(title.isNotNull() & (title != ""),
+                      F.concat(F.lit(f"https://{lang}.wikipedia.org/wiki/"),
+                               F.regexp_replace(title, " ", "_"))).otherwise(F.lit(""))
+
+    d = (joined
+         .withColumn("probe_lang2",
+                     F.when(found, F.col("hit_lang")).otherwise(F.lit(None)))
+         .withColumn("label_de0", F.coalesce(title_de, F.lit("")))
+         .withColumn("label_en", F.coalesce(title_en, F.lit("")))
+         .withColumn("url_de0", wiki_url_col(title_de, "de"))
+         .withColumn("url_en0", wiki_url_col(title_en, "en"))
+         .withColumn("wiki_status0", F.when(found, F.lit("found")).otherwise(F.lit("not_found"))))
+
+    label_de = F.when(F.col("label_de0") == "", F.col("label")).otherwise(F.col("label_de0"))
+    gen_url_de = F.concat(F.lit("https://de.wikipedia.org/wiki/"), F.regexp_replace(label_de, " ", "_"))
+    url_de = F.when(F.col("url_de0") == "", gen_url_de).otherwise(F.col("url_de0"))
+    wiki_status = F.when((F.col("url_de0") == "") & (F.col("wiki_status0") == "not_found"),
+                         F.lit("found_from_prompt")).otherwise(F.col("wiki_status0"))
+    url_en = F.when((F.col("url_en0") == "") & (F.col("label_en") != ""),
+                    F.concat(F.lit("https://en.wikipedia.org/wiki/"),
+                             F.regexp_replace(F.col("label_en"), " ", "_"))
+                    ).otherwise(F.col("url_en0"))
+    dbpedia = F.when(F.trim(F.col("label_en")) != "",
+                     F.concat(F.lit("http://dbpedia.org/resource/"),
+                              F.regexp_replace(F.trim(F.col("label_en")), " ", "_"))
+                     ).when(url_en.contains("en.wikipedia.org/wiki/"),
+                            F.concat(F.lit("http://dbpedia.org/resource/"),
+                                     F.element_at(F.split(url_en, "en\\.wikipedia\\.org/wiki/"), -1))
+                            ).otherwise(F.lit(""))
+    wikidata = F.when(found, F.coalesce(F.col("wikidata_id"), F.lit(""))).otherwise(F.lit(""))
+    status = F.when(wiki_status.isin("found", "found_from_prompt") & (wikidata != ""),
+                    F.lit("linked")).otherwise(F.lit("not_linked"))
+
+    return d.select(
+        "url", "link_lang", "label", "type", "pos", "mention_idx",
+        label_de.alias("label_de"),
+        F.col("label_en"),
+        url_de.alias("url_de"),
+        url_en.alias("url_en"),
+        F.when(found, F.coalesce(F.col("abstract"), F.lit(""))).otherwise(F.lit("")).alias("extract"),
+        wikidata.alias("wikidata_id"),
+        F.when(found, F.coalesce(F.col("thumbnail_url"), F.lit(""))).otherwise(F.lit("")).alias("thumbnail_url"),
+        F.when(found, F.coalesce(F.col("infobox_type"), F.lit(""))).otherwise(F.lit("")).alias("infobox_type"),
+        F.when(found, F.col("geo_lat")).alias("geo_lat"),
+        F.when(found, F.col("geo_lon")).alias("geo_lon"),
+        F.when(found, F.coalesce(F.col("categories"), F.array().cast("array<string>")))
+         .otherwise(F.array().cast("array<string>")).alias("categories"),
+        F.when(found, F.coalesce(F.col("internal_links"), F.array().cast("array<string>")))
+         .otherwise(F.array().cast("array<string>")).alias("internal_links"),
+        dbpedia.alias("dbpedia_uri"),
+        wiki_status.alias("wiki_status"),
+        status.alias("status"),
+        F.sha2(F.concat(F.col("url"), F.col("label")), 256).alias("entity_id"),
+    )
+
+
+def link_mentions(spark, mentions: DataFrame,
+                  redirects: DataFrame | None = None,
+                  aliases: DataFrame | None = None,
+                  kb: DataFrame | None = None,
+                  n_salt: int = 0) -> DataFrame:
+    """Full linking stage: mentions (url, link_lang, label, type, pos,
+    mention_idx) → entity records."""
+    redirects = redirects if redirects is not None else redirects_df(spark)
+    aliases = aliases if aliases is not None else aliases_df(spark)
+    kb = kb if kb is not None else kb_pages_df(spark)
+
+    keys = mentions.select("label", "link_lang").distinct()
+    probes = probe_keys_df(keys)
+    cands = resolve_candidates(probes, redirects, aliases, kb)
+    best = pick_best(cands)
+    joined = join_back(mentions, best, broadcast_resolved=(n_salt == 0), n_salt=n_salt)
+    return to_entities(joined)

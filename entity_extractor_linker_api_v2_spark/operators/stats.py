@@ -1,0 +1,54 @@
+"""Statistics aggregations (O-20..O-23, O-28).
+
+Reference computes per-request Counters (app/api/v1/linker.py:240-327); at
+corpus scale these become global (or per-partition-key) groupBy aggregations:
+  * types_distribution    — groupBy(type).count()            (O-21)
+  * top-10 categories / internal links over exploded arrays  (O-22/O-28)
+  * linked counts + percentages                              (O-20/O-23)
+All partial-aggregated map-side by Catalyst; top-k is orderBy+limit (global
+k=10 — at 10^12 scale this is a treeAggregate-style 2-level reduction Spark
+performs automatically for limit-after-sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def types_distribution(entities: DataFrame) -> DataFrame:
+    return (entities.groupBy("type").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "type"))
+
+
+def top10(entities: DataFrame, array_col: str) -> DataFrame:
+    """most_common(10) over an exploded array column; deterministic ties."""
+    return (entities.select(F.explode(array_col).alias("item"))
+            .groupBy("item").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "item").limit(10))
+
+
+def linked_stats(entities: DataFrame) -> DataFrame:
+    """total / wikipedia-linked / wikidata-linked counts and percents.
+
+    Mirrors linker.py:307-324: wikipedia-linked iff url_de or url_en present,
+    wikidata-linked iff wikidata_id non-empty."""
+    wiki = F.when((F.col("url_de") != "") | (F.col("url_en") != ""), 1).otherwise(0)
+    wd = F.when(F.col("wikidata_id") != "", 1).otherwise(0)
+    return entities.agg(
+        F.count("*").alias("total_entities"),
+        F.sum(wiki).alias("linked_wikipedia"),
+        F.sum(wd).alias("linked_wikidata"),
+        F.round(F.sum(wiki) * 100.0 / F.count("*"), 4).alias("wikipedia_percent"),
+        F.round(F.sum(wd) * 100.0 / F.count("*"), 4).alias("wikidata_percent"),
+    )
+
+
+def extraction_stats(entities: DataFrame) -> DataFrame:
+    """O-20 counters per document: extracted / pages fetched / linked."""
+    return (entities.groupBy("url").agg(
+        F.count("*").alias("entities_extracted"),
+        F.sum(F.when(F.col("wiki_status").isin("found", "found_from_prompt"), 1)
+               .otherwise(0)).alias("wikipedia_pages_fetched"),
+        F.sum(F.when(F.col("status") == "linked", 1).otherwise(0)).alias("entities_linked"),
+    ))

@@ -1,0 +1,55 @@
+"""End-to-end KG-construction pipeline (SURVEY §3.1 rebuild lifecycle).
+
+docs → extract_text (pandas UDF) → detect_mentions (pandas UDF) → explode →
+dedup/cap → link (alias join + priority window) → entities → triples/nodes/
+stats.  One DataFrame lineage; every former network boundary of the
+reference is a broadcast or a shuffle here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import linking, mentions as M, stats as S, triples as T
+from ..operators.extract import extract_text_udf, make_detect_mentions_udf
+from ..sources import tables
+
+
+def extract_stage(docs: DataFrame) -> DataFrame:
+    """html:binary → text column (byte-identical to refsem.extract_text)."""
+    return docs.withColumn("extracted_text", extract_text_udf("html"))
+
+
+def mention_stage(docs_with_text: DataFrame, max_entities: int = 10,
+                  allowed_types="auto", text_col: str = "extracted_text") -> DataFrame:
+    detect = make_detect_mentions_udf()
+    with_m = docs_with_text.withColumn("mentions", detect(text_col))
+    m = M.explode_mentions(with_m)
+    m = M.filter_types(m, allowed_types)
+    return M.dedup_and_cap(m, max_entities)
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, max_entities: int = 10,
+                 n_salt: int = 0, use_html: bool = True) -> dict[str, DataFrame]:
+    """Returns all materialized stage outputs (lazy DataFrames)."""
+    docs = tables.docs_table(spark, sf_dir, with_html=use_html)
+    if use_html:
+        docs = extract_stage(docs)
+        text_col = "extracted_text"
+    else:
+        text_col = "body_text"
+    ments = mention_stage(docs, max_entities=max_entities, text_col=text_col)
+    entities = linking.link_mentions(spark, ments, n_salt=n_salt)
+    triples = T.emit_triples(entities)
+    nodes = T.nodes_table(entities)
+    return {
+        "docs": docs,
+        "mentions": ments,
+        "entities": entities,
+        "triples": triples,
+        "nodes": nodes,
+        "types_distribution": S.types_distribution(entities),
+        "top10_categories": S.top10(entities, "categories"),
+        "linked_stats": S.linked_stats(entities),
+        "extraction_stats": S.extraction_stats(entities),
+    }

@@ -1,0 +1,61 @@
+"""Sources: the driver's parquet tables + the derived web-page corpus.
+
+`docs_table` derives the Common-Crawl-shaped input mandated by BASELINE.json
+`input_hint` — (url, warc_ts, html:binary, text, lang) — deterministically
+from the driver-generated `documents` parquet (TESTDATA.md), using only
+native Column expressions so the DuckDB oracle (`fixtures.docs_cte`) computes
+the identical relation.  At production scale this stage is simply
+`spark.read.format("iceberg").load(...)`; everything downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fixtures, refsem
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sentence_case_col():
+    n = len(fixtures.SENTENCES)
+    expr = None
+    for i, s in enumerate(fixtures.SENTENCES):
+        cond = F.col("doc_id") % n == i
+        expr = F.when(cond, F.lit(s)) if expr is None else expr.when(cond, F.lit(s))
+    return expr
+
+
+def docs_table(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFrame:
+    """documents.parquet → (url, warc_ts, html, body_text, text, lang, link_lang).
+
+    `body_text` is the page's logical text (driver text + injected fixture
+    sentence + skew sentence on even doc_ids — "Berlin" becomes a hot key in
+    ~50% of pages, per the north rule's skew requirement); `html` wraps it in
+    deterministic boilerplate so the extract stage has real work.
+    """
+    d = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"), F.lit(" "), _sentence_case_col(),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" " + fixtures.SKEW_SENTENCE)).otherwise(F.lit("")),
+    )
+    out = (
+        d.withColumn("url", F.concat(F.lit("https://test.example/"), F.col("lang"),
+                                     F.lit("/doc"), F.lpad(F.col("doc_id").cast("string"), 6, "0")))
+        .withColumn("warc_ts", F.expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)"))
+        .withColumn("body_text", body)
+        .withColumn("link_lang", F.when(F.col("lang") == "de", F.lit("de")).otherwise(F.lit("en")))
+    )
+    if with_html:
+        out = out.withColumn(
+            "html",
+            F.encode(F.concat(F.lit(refsem._HTML_PRE), F.col("body_text"),
+                              F.lit(refsem._HTML_POST)), "UTF-8"),
+        )
+    return out
