@@ -1,0 +1,102 @@
+"""Corpus deduplication operators (training-data-pipeline extensions).
+
+Beyond the reference's entity-level dedup (O-29/O-30), a 100 TB training-data
+pipeline needs document-level dedup.  All operators are native-Column
+(shingling/minhashing are array expressions inside whole-stage codegen —
+no Python on the hot path) and shuffle only on compact keys:
+
+  * exact dedup        — groupBy(md5(text)): shuffle key is 32 bytes/doc
+  * minhash signatures — per-doc array math, NO shuffle
+  * LSH candidate pairs— shuffle on (band_id, band_key) buckets only;
+    pair-join happens within buckets (classic MinHash-LSH band trick, so the
+    quadratic pair space is never materialized)
+  * jaccard verify     — exact 3-shingle Jaccard only on LSH candidates
+
+Hash function: md5 (identical lowercase-hex semantics in Spark and DuckDB,
+so the oracle can replay every step bit-for-bit); min() over hex strings is
+the minhash order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 8        # minhash signature length
+BAND_ROWS = 2       # rows per LSH band -> N_HASHES/BAND_ROWS bands
+SHINGLE_W = 3       # words per shingle
+
+
+def normalized(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_norm", F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the minimum id."""
+    return (normalized(df, text_col)
+            .groupBy(F.md5("_norm").alias("fp"))
+            .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document content fingerprint (md5 of normalized text)."""
+    return normalized(df, text_col).select(F.col(id_col), F.md5("_norm").alias("fp"))
+
+
+def _shingles(text_col: str):
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.when(n >= SHINGLE_W, F.sequence(F.lit(0), n - SHINGLE_W)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(words, i + j + 1) for j in range(SHINGLE_W)]))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, sig_idx 0..N-1, minhash): min over shingles of md5(i‖'|'‖shingle).
+    Pure array math per row — embarrassingly parallel, zero shuffle."""
+    d = df.withColumn("_sh", _shingles(text_col)).filter(F.size("_sh") > 0)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(F.transform(
+            "_sh", lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))))
+    return (d.select(F.col(id_col), F.posexplode(sig).alias("sig_idx", "minhash")))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Docs sharing ≥1 LSH band bucket → candidate pairs (a < b)."""
+    sig = minhash_signatures(df, id_col, text_col)
+    bands = (sig.withColumn("band_id", (F.col("sig_idx") / BAND_ROWS).cast("int"))
+             .groupBy(id_col, "band_id")
+             .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))))
+                  .alias("band_key")))
+    l = bands.select(F.col(id_col).alias("a"), "band_id", "band_key")
+    r = bands.select(F.col(id_col).alias("b"), "band_id", "band_key")
+    return (l.join(r, ["band_id", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact 3-word-shingle Jaccard on LSH candidates only."""
+    cands = lsh_candidate_pairs(df, id_col, text_col)
+    sh = (df.withColumn("_sh", _shingles(text_col))
+          .select(F.col(id_col), F.explode("_sh").alias("shingle")).distinct())
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (cands
+             .join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("shingle", "s_a"), "a")
+             .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("shingle", "s_b"), "b")
+             .filter(F.col("s_a") == F.col("s_b"))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n", "na"), "a")
+            .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n", "nb"), "b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))

@@ -40,6 +40,72 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(refsem.extract_text)
 
 
+MENTION_ROWS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("link_lang", T.StringType()),
+    T.StructField("surface", T.StringType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("pos", T.IntegerType()),
+])
+
+
+MENTION_ROWS_DEDUP_SCHEMA = T.StructType(
+    MENTION_ROWS_SCHEMA.fields + [T.StructField("mention_idx", T.IntegerType())])
+
+
+def extract_and_detect(docs, gazetteer: list[tuple[str, str, str]] | None = None,
+                       html_col: str = "html", dedup: bool = False,
+                       max_entities: int = 10):
+    """Fused HTML→text→mentions stage: ONE Arrow round trip, explode done in
+    Python (mapInPandas), so the full text never crosses the JVM↔Python
+    boundary twice and there is no second UDF stage to schedule.  Semantics
+    are exactly extract_text_udf ∘ detect_mentions ∘ explode (equivalence is
+    pytest-asserted); this is the throughput path, the composable UDFs remain
+    the inspectable/per-stage path.
+
+    With ``dedup=True`` the per-document label-dedup + cap (O-26/O-29) also
+    run here: both are strictly per-document, so doing them inside the map
+    stage removes the only corpus-wide shuffle from the pipeline (the window
+    formulation in operators.mentions remains the relational/oracle surface;
+    outputs are identical and pytest-asserted)."""
+    gaz = gazetteer if gazetteer is not None else fixtures.GAZETTEER
+
+    def run(batches):
+        for pdf in batches:
+            texts = pdf[html_col].map(refsem.extract_text)
+            urls, langs = pdf["url"], pdf["link_lang"]
+            parts = []
+            for surface, label, etype in gaz:
+                pos = texts.str.find(surface)
+                hit = pos >= 0
+                if hit.any():
+                    idx = pdf.index[hit]
+                    parts.append(pd.DataFrame({
+                        "_row": idx, "url": urls[hit], "link_lang": langs[hit],
+                        "surface": surface, "label": label, "type": etype,
+                        "pos": (pos[hit] + 1).astype("int32")}))
+            if not parts:
+                yield pd.DataFrame({c: pd.Series(dtype="int32" if c in ("pos", "mention_idx")
+                                                 else object)
+                                    for c in ("url", "link_lang", "surface", "label",
+                                              "type", "pos", "mention_idx")
+                                    if dedup or c != "mention_idx"})
+                continue
+            m = pd.concat(parts, ignore_index=True)
+            if dedup:
+                m["_k"] = m["label"].str.lower()
+                m = (m.sort_values(["_row", "pos", "surface", "label"], kind="mergesort")
+                     .drop_duplicates(["_row", "_k"], keep="first"))
+                m["mention_idx"] = (m.groupby("_row").cumcount() + 1).astype("int32")
+                m = m[m["mention_idx"] <= max_entities].drop(columns=["_k"])
+            yield m.drop(columns=["_row"])
+
+    schema = MENTION_ROWS_DEDUP_SCHEMA if dedup else MENTION_ROWS_SCHEMA
+    return (docs.select("url", "link_lang", html_col)
+            .mapInPandas(run, schema))
+
+
 def make_detect_mentions_udf(gazetteer: list[tuple[str, str, str]] | None = None):
     """Build the mention-detection pandas UDF over a (surface,label,type) dict.
 

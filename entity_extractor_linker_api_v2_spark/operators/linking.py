@@ -204,6 +204,34 @@ def to_entities(joined: DataFrame) -> DataFrame:
     )
 
 
+def resolve_label_universe(spark, labels: list[str],
+                           redirects: DataFrame | None = None,
+                           aliases: DataFrame | None = None,
+                           kb: DataFrame | None = None) -> DataFrame:
+    """Precompute the resolution dimension for a KNOWN label universe.
+
+    When the extractor is dictionary-based (gazetteer), every possible
+    mention label is known up front, so the entire fallback-chain resolution
+    (probes → redirects → aliases → KB → priority pick) is computed ONCE over
+    |labels|×2 keys and broadcast — the corpus never shuffles for linking.
+    For open-vocabulary extractors use ``link_mentions`` (corpus-distinct
+    keys) instead.  Output: one row per (label, link_lang) that resolves,
+    with hit_lang + page columns (same shape as ``pick_best``)."""
+    redirects = redirects if redirects is not None else redirects_df(spark)
+    aliases = aliases if aliases is not None else aliases_df(spark)
+    kb = kb if kb is not None else kb_pages_df(spark)
+    keys = spark.createDataFrame(
+        [(lbl, lang) for lbl in sorted(set(labels)) for lang in ("de", "en")],
+        "label string, link_lang string")
+    return pick_best(resolve_candidates(probe_keys_df(keys), redirects, aliases, kb))
+
+
+def link_mentions_precomputed(mentions: DataFrame, resolved: DataFrame) -> DataFrame:
+    """Linking via the precomputed resolution dimension: one broadcast join,
+    zero shuffles on the mention side."""
+    return to_entities(mentions.join(F.broadcast(resolved), ["label", "link_lang"], "left"))
+
+
 def link_mentions(spark, mentions: DataFrame,
                   redirects: DataFrame | None = None,
                   aliases: DataFrame | None = None,
@@ -215,7 +243,11 @@ def link_mentions(spark, mentions: DataFrame,
     aliases = aliases if aliases is not None else aliases_df(spark)
     kb = kb if kb is not None else kb_pages_df(spark)
 
-    keys = mentions.select("label", "link_lang").distinct()
+    # fetch-once (O-30): distinct keys are re-scanned by the three probe
+    # branches — cache them (post-distinct this is the small side even at
+    # corpus scale; at 10^12 pages it is exactly what the reference's
+    # dedup-before-fetch achieved).
+    keys = mentions.select("label", "link_lang").distinct().cache()
     probes = probe_keys_df(keys)
     cands = resolve_candidates(probes, redirects, aliases, kb)
     best = pick_best(cands)

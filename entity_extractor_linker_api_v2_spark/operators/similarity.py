@@ -1,0 +1,76 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+  * brute_force_topk — exact cosine top-k against a query vector: one
+    codegen'd aggregate per row (F.aggregate over zip_with), then a global
+    top-k (orderBy+limit ⇒ per-partition top-k + single reduce).  The
+    baseline and the verifier for approximate variants.
+  * lsh_buckets      — random-hyperplane (SimHash) bucketing: sign bits of
+    dots with deterministic hyperplanes; ANN probes only matching buckets.
+  * embedding_near_dups — cosine near-duplicate pairs within LSH buckets
+    (the embedding-space analog of MinHash dedup).
+
+Query vector / hyperplanes are exact rationals (i*37%19-9)/10 so Spark and
+the DuckDB oracle compute identical doubles; scores are rounded before
+output to absorb summation-order ULPs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 4
+
+
+def query_vector(dim: int = DIM) -> list[float]:
+    return [((i * 37) % 19 - 9) / 10.0 for i in range(dim)]
+
+
+def hyperplane(j: int, dim: int = DIM) -> list[float]:
+    return [((i * (j + 2) * 13) % 7 - 3) / 5.0 for i in range(dim)]
+
+
+def _dot(vec_col, const: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in const])
+    return F.aggregate(F.zip_with(vec_col, c, lambda a, b: a.cast("double") * b),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def brute_force_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    import math
+    q = query_vector()
+    qn = math.sqrt(sum(x * x for x in q))
+    score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (df.select(F.col(id_col), score.alias("_s"))
+            .orderBy(F.desc("_s"), id_col).limit(k)
+            .select(id_col, F.round("_s", 3).alias("cosine")))
+
+
+def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    bits = [F.when(F.round(_dot(F.col(vec_col), hyperplane(j)), 6) >= 0, F.lit("1"))
+            .otherwise(F.lit("0")) for j in range(N_PLANES)]
+    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Pairs in the same hyperplane bucket with cosine ≥ threshold."""
+    b = lsh_buckets(df, id_col, vec_col)
+    v = df.select(F.col(id_col), F.col(vec_col)).join(b, id_col)
+    l = v.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    r = v.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+            .withColumn("cosine", F.round(cos, 3))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))

@@ -26,30 +26,29 @@ PREDICATES = ("instance_of", "same_as", "has_category", "links_to", "located_at"
 
 
 def emit_triples(entities: DataFrame) -> DataFrame:
-    subj = F.col("label_de")
-    base = entities.select("url", subj.alias("subj"), "type", "wikidata_id",
-                           "dbpedia_uri", "categories", "internal_links",
-                           "geo_lat", "geo_lon")
+    """Single-pass emission: per entity build an array<struct<pred,obj>> and
+    explode once.  (A 6-way union of filtered selects would re-scan — and at
+    100 TB re-COMPUTE — the entity table six times; this is one scan.)"""
+    def po(pred, obj):
+        return F.struct(F.lit(pred).alias("pred"), obj.alias("obj"))
 
-    inst = base.select("url", "subj", F.lit("instance_of").alias("pred"),
-                       F.col("type").alias("obj"))
-    wd = (base.filter(F.col("wikidata_id") != "")
-          .select("url", "subj", F.lit("same_as").alias("pred"),
-                  F.col("wikidata_id").alias("obj")))
-    dbp = (base.filter(F.col("dbpedia_uri") != "")
-           .select("url", "subj", F.lit("same_as").alias("pred"),
-                   F.col("dbpedia_uri").alias("obj")))
-    cats = (base.select("url", "subj", F.explode("categories").alias("obj"))
-            .select("url", "subj", F.lit("has_category").alias("pred"), "obj"))
-    links = (base.select("url", "subj", F.explode("internal_links").alias("obj"))
-             .select("url", "subj", F.lit("links_to").alias("pred"), "obj"))
-    geo = (base.filter(F.col("geo_lat").isNotNull() & F.col("geo_lon").isNotNull())
-           .select("url", "subj", F.lit("located_at").alias("pred"),
-                   F.concat(F.col("geo_lat").cast("string"), F.lit(","),
-                            F.col("geo_lon").cast("string")).alias("obj")))
-
-    return inst.unionByName(wd).unionByName(dbp).unionByName(cats) \
-               .unionByName(links).unionByName(geo)
+    empty = F.array().cast("array<struct<pred:string,obj:string>>")
+    arr = F.concat(
+        F.array(po("instance_of", F.col("type"))),
+        F.when(F.col("wikidata_id") != "",
+               F.array(po("same_as", F.col("wikidata_id")))).otherwise(empty),
+        F.when(F.col("dbpedia_uri") != "",
+               F.array(po("same_as", F.col("dbpedia_uri")))).otherwise(empty),
+        F.transform("categories", lambda c: po("has_category", c)),
+        F.transform("internal_links", lambda x: po("links_to", x)),
+        F.when(F.col("geo_lat").isNotNull() & F.col("geo_lon").isNotNull(),
+               F.array(po("located_at",
+                          F.concat(F.col("geo_lat").cast("string"), F.lit(","),
+                                   F.col("geo_lon").cast("string"))))).otherwise(empty),
+    )
+    return (entities
+            .select("url", F.col("label_de").alias("subj"), F.explode(arr).alias("t"))
+            .select("url", "subj", F.col("t.pred").alias("pred"), F.col("t.obj").alias("obj")))
 
 
 def nodes_table(entities: DataFrame) -> DataFrame:

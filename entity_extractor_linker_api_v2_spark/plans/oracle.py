@@ -1,0 +1,543 @@
+"""DuckDB oracle SQL for every entry in ``plans.queries.QUERIES``.
+
+Each SQL string is ANSI-ish DuckDB dialect over the driver's pre-registered
+views (documents, lineitem, events, embeddings, ...) plus literal CTEs
+rendered from the same fixture constants the Spark side uses
+(``fixtures.*_cte``).  The chain of CTEs below mirrors the Spark plan stage
+by stage; dialect deltas vs Spark are confined to:
+
+  * title-case: DuckDB has no initcap → list_transform emulation
+  * upper(): DuckDB maps ß→ẞ where Python/JVM map ß→SS → emulated as
+    upper(replace(x,'ß','ss'))
+  * variation priority values are ordinal (gaps) instead of dense — only the
+    ORDER they induce is observable, and it is identical.
+"""
+
+from __future__ import annotations
+
+from .. import fixtures
+
+# -- dialect helpers --------------------------------------------------------
+
+_TITLE = ("array_to_string(list_transform(string_split({x}, ' '), "
+          "w -> upper(w[1]) || lower(w[2:])), ' ')")
+_PYUPPER = "upper(replace({x}, 'ß', 'ss'))"
+
+
+def _base_ctes() -> list[str]:
+    return [fixtures.docs_cte(), fixtures.gazetteer_cte(), fixtures.kb_pages_cte(),
+            fixtures.aliases_cte(), fixtures.redirects_cte()]
+
+
+_MENTION_CHAIN = """
+raw_mentions AS (
+  SELECT d.url, d.link_lang, g.surface, g.label, g.type,
+         strpos(d.body_text, g.surface) AS pos
+  FROM docs d JOIN gaz g ON strpos(d.body_text, g.surface) > 0
+),
+deduped AS (
+  SELECT url, link_lang, surface, label, type, pos FROM raw_mentions
+  QUALIFY row_number() OVER (PARTITION BY url, lower(label)
+                             ORDER BY pos, surface, label) = 1
+),
+capped AS (
+  SELECT url, link_lang, surface, label, type, pos,
+         row_number() OVER (PARTITION BY url ORDER BY pos, surface, label) AS mention_idx
+  FROM deduped
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY pos, surface, label) <= 10
+)
+"""
+
+_PROBE_CHAIN = f"""
+m_keys AS (SELECT DISTINCT label, link_lang FROM capped),
+vars0 AS (
+  SELECT label, link_lang,
+    [{_TITLE.format(x='label')},
+     lower(label),
+     {_PYUPPER.format(x='label')},
+     CASE WHEN label LIKE 'Der %' THEN label[5:] END,
+     CASE WHEN label LIKE 'Die %' THEN label[5:] END,
+     CASE WHEN label LIKE 'Das %' THEN label[5:] END,
+     replace(label, 'ß', 'ss'),
+     replace(label, 'ä', 'ae'),
+     replace(label, 'ö', 'oe'),
+     replace(label, 'ü', 'ue')] AS cand
+  FROM m_keys),
+vars AS (
+  SELECT label, link_lang, probe, idx FROM (
+    SELECT label, link_lang, unnest(cand) AS probe,
+           generate_subscripts(cand, 1) AS idx
+    FROM vars0) u
+  WHERE probe IS NOT NULL AND probe <> label
+  QUALIFY row_number() OVER (PARTITION BY label, link_lang, probe ORDER BY idx) = 1),
+probes AS (
+  SELECT label, link_lang, label AS probe, link_lang AS probe_lang, 0 AS prio FROM m_keys
+  UNION ALL
+  SELECT label, link_lang, label, 'de', 1 FROM m_keys WHERE link_lang <> 'de'
+  UNION ALL
+  SELECT label, link_lang, probe, link_lang, idx + 1 FROM vars)
+"""
+
+_LINK_CHAIN = """
+resolved AS (
+  SELECT p.label, p.link_lang, p.prio, p.probe_lang, p.probe,
+         coalesce(r.to_title, p.probe) AS resolved
+  FROM probes p LEFT JOIN redirects r
+    ON p.probe = r.from_title AND p.probe_lang = r.lang),
+cands AS (
+  SELECT res.label, res.link_lang, res.prio, res.probe_lang, a.alias_prio,
+         k.title, k.title_other, k.abstract, k.wikidata_id, k.categories,
+         k.internal_links, k.infobox_type, k.geo_lat, k.geo_lon, k.thumbnail_url
+  FROM resolved res
+  JOIN aliases a ON res.resolved = a.alias AND res.probe_lang = a.lang
+  JOIN kb k ON a.title = k.title AND res.probe_lang = k.lang
+  WHERE k.abstract IS NOT NULL AND k.abstract <> ''),
+best AS (
+  SELECT * FROM cands
+  QUALIFY row_number() OVER (PARTITION BY label, link_lang
+                             ORDER BY prio, alias_prio, title) = 1),
+joined AS (
+  SELECT c.url, c.link_lang, c.surface, c.label, c.type, c.pos, c.mention_idx,
+         b.probe_lang AS hit_lang, b.title, b.title_other, b.abstract,
+         b.wikidata_id, b.categories, b.internal_links, b.infobox_type,
+         b.geo_lat, b.geo_lon, b.thumbnail_url
+  FROM capped c LEFT JOIN best b
+    ON c.label = b.label AND c.link_lang = b.link_lang),
+e0 AS (
+  SELECT *,
+    (title IS NOT NULL) AS found,
+    CASE WHEN hit_lang = 'de' THEN title ELSE title_other END AS title_de,
+    CASE WHEN hit_lang = 'en' THEN title ELSE title_other END AS title_en
+  FROM joined),
+e1 AS (
+  SELECT *,
+    coalesce(title_de, '') AS label_de0,
+    coalesce(title_en, '') AS label_en,
+    CASE WHEN title_de IS NOT NULL AND title_de <> ''
+         THEN 'https://de.wikipedia.org/wiki/' || replace(title_de, ' ', '_')
+         ELSE '' END AS url_de0,
+    CASE WHEN title_en IS NOT NULL AND title_en <> ''
+         THEN 'https://en.wikipedia.org/wiki/' || replace(title_en, ' ', '_')
+         ELSE '' END AS url_en0,
+    CASE WHEN found THEN 'found' ELSE 'not_found' END AS wiki_status0
+  FROM e0),
+e2 AS (
+  SELECT *,
+    CASE WHEN label_de0 = '' THEN label ELSE label_de0 END AS label_de,
+    CASE WHEN url_de0 = '' AND wiki_status0 = 'not_found'
+         THEN 'found_from_prompt' ELSE wiki_status0 END AS wiki_status,
+    CASE WHEN url_en0 = '' AND label_en <> ''
+         THEN 'https://en.wikipedia.org/wiki/' || replace(label_en, ' ', '_')
+         ELSE url_en0 END AS url_en
+  FROM e1),
+e3 AS (
+  SELECT *,
+    CASE WHEN url_de0 = ''
+         THEN 'https://de.wikipedia.org/wiki/' || replace(label_de, ' ', '_')
+         ELSE url_de0 END AS url_de,
+    CASE WHEN trim(label_en) <> ''
+         THEN 'http://dbpedia.org/resource/' || replace(trim(label_en), ' ', '_')
+         WHEN url_en LIKE '%en.wikipedia.org/wiki/%'
+         THEN 'http://dbpedia.org/resource/' ||
+              string_split(url_en, 'en.wikipedia.org/wiki/')[-1]
+         ELSE '' END AS dbpedia_uri,
+    CASE WHEN found THEN coalesce(wikidata_id, '') ELSE '' END AS wikidata_out
+  FROM e2),
+entities AS (
+  SELECT url, link_lang, label, type, pos, mention_idx,
+    label_de, label_en, url_de, url_en,
+    CASE WHEN found THEN coalesce(abstract, '') ELSE '' END AS extract,
+    wikidata_out AS wikidata_id,
+    CASE WHEN found THEN coalesce(thumbnail_url, '') ELSE '' END AS thumbnail_url,
+    CASE WHEN found THEN coalesce(infobox_type, '') ELSE '' END AS infobox_type,
+    CASE WHEN found THEN geo_lat END AS geo_lat,
+    CASE WHEN found THEN geo_lon END AS geo_lon,
+    dbpedia_uri, wiki_status,
+    CASE WHEN wiki_status IN ('found', 'found_from_prompt') AND wikidata_out <> ''
+         THEN 'linked' ELSE 'not_linked' END AS status,
+    sha256(url || label) AS entity_id,
+    CASE WHEN found THEN coalesce(categories, []) ELSE [] END AS categories,
+    CASE WHEN found THEN coalesce(internal_links, []) ELSE [] END AS internal_links
+  FROM e3)
+"""
+
+
+def _with(*chains: str, final: str) -> str:
+    parts = _base_ctes() + [c.strip().strip(",") for c in chains if c.strip()]
+    return "WITH " + ",\n".join(p.strip() for p in parts) + "\n" + final
+
+
+def _full_chain(final: str) -> str:
+    return _with(_MENTION_CHAIN, _PROBE_CHAIN, _LINK_CHAIN, final=final)
+
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["q01_docs_derive"] = _with(final="""
+SELECT url, lang, link_lang, length(body_text) AS body_len,
+       strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_str
+FROM docs""")
+
+ORACLE["q02_clean_text"] = _with(final="""
+SELECT url, length(t) AS clean_len, sha256(t) AS clean_sha
+FROM (SELECT url, trim(regexp_replace(body_text, '\\s+', ' ', 'g')) AS t FROM docs)""")
+
+ORACLE["q03_mentions"] = _with(_MENTION_CHAIN, final="""
+SELECT url, surface, label, type, pos FROM raw_mentions""")
+
+ORACLE["q04_mentions_regex"] = _with(final=r"""
+SELECT url, label, type FROM (
+  SELECT url, unnest(regexp_extract_all(body_text,
+    '[A-ZÄÖÜ][a-zäöüß]+ [A-ZÄÖÜ][a-zäöüß]+')) AS label, 'PERSON' AS type
+  FROM docs
+  UNION ALL
+  SELECT url, unnest(regexp_extract_all(body_text,
+    'Deutschland|Österreich|Schweiz|Berlin|München|Hamburg')) AS label,
+    'LOCATION' AS type
+  FROM docs) u""")
+
+ORACLE["q05_mention_dedup_cap"] = _with(_MENTION_CHAIN, final="""
+SELECT url, label, type, pos, mention_idx FROM capped""")
+
+ORACLE["q06_type_filter"] = _with(_MENTION_CHAIN, final="""
+SELECT url, label, type, mention_idx FROM capped
+WHERE type IN ('PERSON', 'LOCATION')""")
+
+ORACLE["q07_probe_keys"] = _with(_MENTION_CHAIN, _PROBE_CHAIN, final="""
+SELECT label, link_lang, probe, probe_lang,
+       row_number() OVER (PARTITION BY label, link_lang ORDER BY prio) AS probe_rank
+FROM probes""")
+
+ORACLE["q08_redirect_resolve"] = _with(_MENTION_CHAIN, _PROBE_CHAIN, final="""
+SELECT p.label, p.link_lang, p.probe, p.probe_lang,
+       coalesce(r.to_title, p.probe) AS resolved
+FROM probes p LEFT JOIN redirects r
+  ON p.probe = r.from_title AND p.probe_lang = r.lang""")
+
+ORACLE["q09_candidates"] = _full_chain("""
+SELECT label, link_lang, probe_lang, title, wikidata_id FROM cands""")
+
+ORACLE["q10_best_pick"] = _full_chain("""
+SELECT label, link_lang, probe_lang AS hit_lang, title, wikidata_id FROM best""")
+
+ORACLE["q11_entities"] = _full_chain("""
+SELECT url, label, type, mention_idx, label_de, label_en, url_de, url_en,
+       extract, wikidata_id, thumbnail_url, infobox_type, geo_lat, geo_lon,
+       dbpedia_uri, wiki_status, status, entity_id,
+       array_to_string(categories, '|') AS categories_str,
+       array_to_string(internal_links, '|') AS links_str
+FROM entities""")
+
+ORACLE["q12_triples"] = _full_chain("""
+SELECT url, subj, pred, obj FROM (
+  SELECT url, label_de AS subj, 'instance_of' AS pred, type AS obj FROM entities
+  UNION ALL
+  SELECT url, label_de, 'same_as', wikidata_id FROM entities WHERE wikidata_id <> ''
+  UNION ALL
+  SELECT url, label_de, 'same_as', dbpedia_uri FROM entities WHERE dbpedia_uri <> ''
+  UNION ALL
+  SELECT url, label_de, 'has_category', unnest(categories) FROM entities
+  UNION ALL
+  SELECT url, label_de, 'links_to', unnest(internal_links) FROM entities
+  UNION ALL
+  SELECT url, label_de, 'located_at',
+         CAST(geo_lat AS VARCHAR) || ',' || CAST(geo_lon AS VARCHAR)
+  FROM entities WHERE geo_lat IS NOT NULL AND geo_lon IS NOT NULL) t""")
+
+ORACLE["q13_nodes"] = _full_chain("""
+SELECT label_de AS subj, label_en, wikidata_id, dbpedia_uri, url_de, url_en,
+       infobox_type, status,
+       count(*) AS n_mentions, count(DISTINCT url) AS n_docs,
+       min(entity_id) AS node_id, min(type) AS type
+FROM entities
+GROUP BY label_de, label_en, wikidata_id, dbpedia_uri, url_de, url_en,
+         infobox_type, status""")
+
+ORACLE["q14_types_distribution"] = _full_chain("""
+SELECT type, count(*) AS cnt FROM entities GROUP BY type ORDER BY cnt DESC, type""")
+
+ORACLE["q15_top10_categories"] = _full_chain("""
+SELECT item, count(*) AS cnt
+FROM (SELECT unnest(categories) AS item FROM entities) t
+GROUP BY item ORDER BY cnt DESC, item LIMIT 10""")
+
+ORACLE["q16_top10_links"] = _full_chain("""
+SELECT item, count(*) AS cnt
+FROM (SELECT unnest(internal_links) AS item FROM entities) t
+GROUP BY item ORDER BY cnt DESC, item LIMIT 10""")
+
+ORACLE["q17_linked_stats"] = _full_chain("""
+SELECT count(*) AS total_entities,
+       CAST(sum(CASE WHEN url_de <> '' OR url_en <> '' THEN 1 ELSE 0 END) AS BIGINT) AS linked_wikipedia,
+       CAST(sum(CASE WHEN wikidata_id <> '' THEN 1 ELSE 0 END) AS BIGINT) AS linked_wikidata,
+       round(sum(CASE WHEN url_de <> '' OR url_en <> '' THEN 1 ELSE 0 END) * 100.0
+             / count(*), 4) AS wikipedia_percent,
+       round(sum(CASE WHEN wikidata_id <> '' THEN 1 ELSE 0 END) * 100.0
+             / count(*), 4) AS wikidata_percent
+FROM entities""")
+
+ORACLE["q18_extraction_stats"] = _full_chain("""
+SELECT url, count(*) AS entities_extracted,
+       CAST(sum(CASE WHEN wiki_status IN ('found', 'found_from_prompt') THEN 1 ELSE 0 END)
+         AS BIGINT) AS wikipedia_pages_fetched,
+       CAST(sum(CASE WHEN status = 'linked' THEN 1 ELSE 0 END) AS BIGINT) AS entities_linked
+FROM entities GROUP BY url""")
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+# deterministic dedup corpus: documents + exact + near duplicates (mirrors
+# queries._dedup_corpus)
+_DD = """
+dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zusatz anhang' FROM documents WHERE doc_id % 7 = 0),
+ddn AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM dd)
+"""
+
+_SHINGLE = """
+dws AS (SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+        FROM dd),
+sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       FROM dws, unnest(range(1, n - 1)) t(i) WHERE n >= 3),
+sig AS (SELECT doc_id, CAST(h.i AS INTEGER) AS sig_idx,
+               min(md5(CAST(h.i AS VARCHAR) || '|' || shingle)) AS minhash
+        FROM sh, unnest(range(0, 8)) h(i)
+        GROUP BY doc_id, h.i),
+bands AS (SELECT doc_id, CAST(sig_idx // 2 AS INTEGER) AS band_id,
+                 md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+          FROM sig GROUP BY doc_id, sig_idx // 2),
+lsh_pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id)
+"""
+
+
+def _dd_with(*chains: str, final: str) -> str:
+    parts = [c.strip().strip(",") for c in chains if c.strip()]
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+ORACLE["q20_dedup_exact"] = _dd_with(_DD, final="""
+SELECT fp, n_dups, keep_id FROM (
+  SELECT md5(norm) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
+  FROM ddn GROUP BY md5(norm)) g
+WHERE n_dups > 1""")
+
+ORACLE["q21_fingerprint"] = _dd_with(_DD, final="""
+SELECT doc_id, md5(norm) AS fp FROM ddn""")
+
+ORACLE["q22_minhash_sig"] = _dd_with(_DD, _SHINGLE, final="""
+SELECT doc_id, sig_idx, minhash FROM sig""")
+
+ORACLE["q23_lsh_pairs"] = _dd_with(_DD, _SHINGLE, final="""
+SELECT a, b FROM lsh_pairs""")
+
+ORACLE["q24_jaccard_pairs"] = _dd_with(_DD, _SHINGLE, final="""
+SELECT i.a, i.b,
+       round(i.inter * 1.0 / (na.n + nb.n - i.inter), 4) AS jaccard
+FROM (SELECT p.a, p.b, count(*) AS inter
+      FROM lsh_pairs p
+      JOIN (SELECT DISTINCT doc_id, shingle FROM sh) sa ON sa.doc_id = p.a
+      JOIN (SELECT DISTINCT doc_id, shingle FROM sh) sb
+        ON sb.doc_id = p.b AND sa.shingle = sb.shingle
+      GROUP BY p.a, p.b) i
+JOIN (SELECT doc_id, count(DISTINCT shingle) AS n FROM sh GROUP BY doc_id) na
+  ON na.doc_id = i.a
+JOIN (SELECT doc_id, count(DISTINCT shingle) AS n FROM sh GROUP BY doc_id) nb
+  ON nb.doc_id = i.b
+WHERE round(i.inter * 1.0 / (na.n + nb.n - i.inter), 4) >= 0.5""")
+
+_DE_SW = "('der','die','das','und','ist','ein','nicht','mit','von','zu')"
+_EN_SW = "('the','and','is','of','a','to','in','that','it','for')"
+_ALL_SW = ("('der','die','das','und','ist','ein','nicht','mit','von','zu',"
+           "'the','and','is','of','a','to','in','that','it','for')")
+
+ORACLE["q25_language_id"] = f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN {_DE_SW})) AS INTEGER) AS de_hits,
+  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN {_EN_SW})) AS INTEGER) AS en_hits,
+  CASE WHEN len(list_filter(string_split(lower(text), ' '), w -> w IN {_DE_SW}))
+          > len(list_filter(string_split(lower(text), ' '), w -> w IN {_EN_SW})) THEN 'de'
+       WHEN len(list_filter(string_split(lower(text), ' '), w -> w IN {_EN_SW}))
+          > len(list_filter(string_split(lower(text), ' '), w -> w IN {_DE_SW})) THEN 'en'
+       ELSE 'und' END AS pred_lang
+FROM documents"""
+
+ORACLE["q26_quality_score"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  round(length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1), 4) AS avg_token_len,
+  round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+        / greatest(length(text), 1), 4) AS punct_ratio,
+  round(len(list_filter(string_split(lower(text), ' '), w -> w IN {_ALL_SW})) * 1.0
+        / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+  (len(string_split(text, ' ')) >= 10 AND length(text) >= 50) AS keep
+FROM documents"""
+
+ORACLE["q27_token_counts"] = """
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS alnum_tokens
+FROM documents"""
+
+
+def _qvec_cte() -> str:
+    from ..operators.similarity import query_vector
+    import math
+    q = query_vector()
+    qn = math.sqrt(sum(x * x for x in q))
+    rows = ", ".join(f"({i}, {v!r})" for i, v in enumerate(q))
+    return f"q(i, qv) AS (VALUES {rows})", repr(qn)
+
+
+_QCTE, _QNORM = _qvec_cte()
+
+ORACLE["q28_ann_topk"] = f"""
+WITH {_QCTE},
+ex AS (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS s
+       FROM embeddings),
+dots AS (SELECT vec_id,
+                sum(CAST(e AS DOUBLE) * q.qv) AS dot,
+                sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS nrm
+         FROM ex JOIN q ON ex.s = q.i + 1 GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nrm) * {_QNORM}), 3) AS cosine
+FROM dots ORDER BY dot / (sqrt(nrm) * {_QNORM}) DESC, vec_id LIMIT 10"""
+
+
+def _planes_cte() -> str:
+    from ..operators.similarity import N_PLANES, hyperplane
+    rows = []
+    for j in range(N_PLANES):
+        for i, v in enumerate(hyperplane(j)):
+            rows.append(f"({j}, {i}, {v!r})")
+    return "planes(j, i, v) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_BUCKET_CTES = f"""
+{_planes_cte()},
+ex AS (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS s
+       FROM embeddings),
+bits AS (SELECT vec_id, p.j,
+                CASE WHEN round(sum(CAST(e AS DOUBLE) * p.v), 6) >= 0
+                     THEN '1' ELSE '0' END AS bit
+         FROM ex JOIN planes p ON ex.s = p.i + 1 GROUP BY vec_id, p.j),
+buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+            FROM bits GROUP BY vec_id)
+"""
+
+ORACLE["q29_ann_lsh_buckets"] = f"WITH {_BUCKET_CTES.strip()}\nSELECT vec_id, bucket FROM buckets"
+
+ORACLE["q30_embed_near_dups"] = f"""
+WITH {_BUCKET_CTES.strip()},
+norms AS (SELECT vec_id, sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS nrm
+          FROM ex GROUP BY vec_id),
+pairs AS (SELECT l.vec_id AS a, r.vec_id AS b
+          FROM buckets l JOIN buckets r
+            ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+pd AS (SELECT p.a, p.b, sum(CAST(ea.e AS DOUBLE) * CAST(eb.e AS DOUBLE)) AS dot
+       FROM pairs p
+       JOIN ex ea ON ea.vec_id = p.a
+       JOIN ex eb ON eb.vec_id = p.b AND ea.s = eb.s
+       GROUP BY p.a, p.b)
+SELECT pd.a, pd.b, round(pd.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 3) AS cosine
+FROM pd JOIN norms na ON na.vec_id = pd.a JOIN norms nb ON nb.vec_id = pd.b
+WHERE round(pd.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 3) >= 0.2"""
+
+ORACLE["q31_events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS cnt, round(sum(value), 4) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type"""
+
+ORACLE["q32_sessionize"] = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM lagged)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM flagged GROUP BY user_id, session_no"""
+
+ORACLE["q33_split_text_char"] = """
+SELECT doc_id, CAST(i // 150 AS INTEGER) AS chunk_idx,
+       trim(regexp_replace(substr(text, CAST(i AS INTEGER) + 1, 200), '\\s+', ' ', 'g')) AS chunk
+FROM documents, unnest(range(0, greatest(length(text), 1), 150)) t(i)"""
+
+
+def _levels_cte() -> str:
+    from ..refsem import DEFAULT_LEVELS
+    rows = ", ".join(f"({i}, '{lvl}')" for i, lvl in enumerate(DEFAULT_LEVELS))
+    return f"levels(level_idx, level) AS (VALUES {rows})"
+
+
+ORACLE["q34_qa_distribution"] = f"""
+WITH {_levels_cte()}
+SELECT d.doc_id, l.level,
+       CAST((1 + d.doc_id % 12) // 8
+            + CASE WHEN l.level_idx < (1 + d.doc_id % 12) % 8 THEN 1 ELSE 0 END
+            AS INTEGER) AS pairs_for_level
+FROM documents d CROSS JOIN levels l"""
+
+ORACLE["q35_topic_extract"] = """
+SELECT doc_id,
+  CASE WHEN length(trim(string_split(text, '.')[1])) > 10
+       THEN trim(string_split(text, '.')[1])
+       WHEN length(text) > 100 THEN trim(substr(text, 1, 100))
+       ELSE trim(text) END AS topic
+FROM documents"""
+
+ORACLE["q36_compendium_refs"] = _full_chain("""
+SELECT url, CAST(row_number() OVER (PARTITION BY url ORDER BY mention_idx) AS INTEGER)
+         AS ref_idx, ref
+FROM (
+  SELECT url, mention_idx, ref FROM (
+    SELECT url, mention_idx,
+           CASE WHEN url_de <> '' THEN url_de ELSE url_en END AS ref
+    FROM entities) r0
+  WHERE ref <> ''
+  QUALIFY row_number() OVER (PARTITION BY url, ref ORDER BY mention_idx) = 1) r1""")
+
+ORACLE["q37_entity_context"] = _full_chain("""
+SELECT url, string_agg('**' || label || '**: ' || extract, chr(10) || chr(10)
+                       ORDER BY mention_idx) AS context
+FROM entities WHERE extract <> '' GROUP BY url""")
+
+# Connected components via transitive closure (recursive CTE); mirrors the
+# Spark iterative min-propagation loop in operators.canonicalize.
+_CC_FINAL = """
+SELECT n AS node, min(m) AS comp, sha256(min(m)) AS canonical_id
+FROM reach GROUP BY n"""
+
+ORACLE["q19_canonicalize"] = (
+    "WITH RECURSIVE "
+    + ",\n".join(p.strip() for p in _base_ctes())
+    + ",\n" + _MENTION_CHAIN.strip().strip(",")
+    + ",\n" + _PROBE_CHAIN.strip().strip(",")
+    + ",\n" + _LINK_CHAIN.strip().strip(",")
+    + """,
+edges AS (
+  SELECT label AS a, label_de AS b FROM entities WHERE label <> label_de
+  UNION
+  SELECT label_de, wikidata_id FROM entities WHERE wikidata_id <> ''),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(n, m) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT a, b FROM und
+  UNION
+  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a)
+""" + _CC_FINAL)

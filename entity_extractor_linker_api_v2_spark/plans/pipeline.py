@@ -30,15 +30,56 @@ def mention_stage(docs_with_text: DataFrame, max_entities: int = 10,
 
 
 def run_pipeline(spark: SparkSession, sf_dir: str, max_entities: int = 10,
-                 n_salt: int = 0, use_html: bool = True) -> dict[str, DataFrame]:
+                 n_salt: int = 0, use_html: bool = True,
+                 fused: bool = False) -> dict[str, DataFrame]:
     """Returns all materialized stage outputs (lazy DataFrames)."""
     docs = tables.docs_table(spark, sf_dir, with_html=use_html)
-    if use_html:
-        docs = extract_stage(docs)
-        text_col = "extracted_text"
+    return pipeline_from_docs(spark, docs, max_entities=max_entities,
+                              n_salt=n_salt, use_html=use_html, fused=fused)
+
+
+def pipeline_from_docs(spark: SparkSession, docs: DataFrame, max_entities: int = 10,
+                       n_salt: int = 0, use_html: bool = True,
+                       persist_mentions: bool = True,
+                       fused: bool = False,
+                       resolved: DataFrame | None = None) -> dict[str, DataFrame]:
+    if fused and use_html:
+        # throughput path: one mapInPandas does html→text→mentions→per-doc
+        # dedup/cap (single Arrow round trip, no corpus shuffle), and the
+        # linking dimension is precomputed over the gazetteer label universe
+        # and broadcast — the whole pipeline is map-only.  The composable
+        # two-UDF path below is the stage-inspectable default and the
+        # oracle-parity surface; equivalence is pytest-asserted.
+        from .. import fixtures
+        from ..operators.extract import extract_and_detect
+        ments = extract_and_detect(docs, dedup=True, max_entities=max_entities)
+        if resolved is None:
+            resolved = linking.resolve_label_universe(
+                spark, [lbl for _, lbl, _ in fixtures.GAZETTEER])
+        entities = linking.link_mentions_precomputed(ments, resolved)
+        triples = T.emit_triples(entities)
+        nodes = T.nodes_table(entities)
+        return {
+            "docs": docs, "mentions": ments, "entities": entities,
+            "triples": triples, "nodes": nodes,
+            "types_distribution": S.types_distribution(entities),
+            "top10_categories": S.top10(entities, "categories"),
+            "linked_stats": S.linked_stats(entities),
+            "extraction_stats": S.extraction_stats(entities),
+        }
     else:
-        text_col = "body_text"
-    ments = mention_stage(docs, max_entities=max_entities, text_col=text_col)
+        if use_html:
+            docs = extract_stage(docs)
+            text_col = "extracted_text"
+        else:
+            text_col = "body_text"
+        ments = mention_stage(docs, max_entities=max_entities, text_col=text_col)
+    if persist_mentions:
+        # the mention table feeds both the distinct-key probe side and the
+        # join-back; persisting avoids re-running the two pandas-UDF stages.
+        # At cluster scale this is the stage-checkpoint boundary instead
+        # (sources.checkpoint.StageCheckpoint).
+        ments = ments.persist()
     entities = linking.link_mentions(spark, ments, n_salt=n_salt)
     triples = T.emit_triples(entities)
     nodes = T.nodes_table(entities)

@@ -1,0 +1,391 @@
+"""Driver-facing query registry: each entry is one operator from SURVEY.md §2
+expressed over the driver's parquet tables, returning a DataFrame whose
+columns exactly match the DuckDB oracle in ``plans.oracle``.
+
+Naming convention: every computed column is aliased identically on both
+sides (the driver sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import linking, mentions as M, stats as S, triples as TR
+from ..plans.pipeline import extract_stage, mention_stage
+from ..sources import tables
+
+
+# ---------------------------------------------------------------------------
+# shared stage builders (each query re-derives its prefix; cheap at sf0.01)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return extract_stage(tables.docs_table(spark, sf_dir))
+
+
+def _raw_mentions(spark, sf_dir):
+    """Gazetteer containment semantics via the pandas UDF (the scale path);
+    the oracle uses the equivalent strpos join formulation."""
+    from ..operators.extract import make_detect_mentions_udf
+    docs = _docs(spark, sf_dir)
+    detect = make_detect_mentions_udf()
+    return M.explode_mentions(docs.withColumn("mentions", detect("extracted_text")))
+
+
+def _capped(spark, sf_dir):
+    return M.dedup_and_cap(_raw_mentions(spark, sf_dir))
+
+
+def _entities(spark, sf_dir):
+    # persist the mention table: it feeds both the probe-key distinct and the
+    # join-back (avoids re-running the pandas-UDF extraction chain twice)
+    return linking.link_mentions(spark, _capped(spark, sf_dir).persist())
+
+
+def _arr_str(col):
+    return F.array_join(col, "|")
+
+
+# ---------------------------------------------------------------------------
+# individual queries
+# ---------------------------------------------------------------------------
+
+
+def q_docs_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.docs_table(spark, sf_dir, with_html=False)
+    return d.select(
+        "url", "lang", "link_lang",
+        F.length("body_text").alias("body_len"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_str"),
+    )
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-37 via the extract UDF; oracle = regex clean of body_text (equal on
+    this corpus, asserted byte-level in tests)."""
+    return _docs(spark, sf_dir).select(
+        "url", F.length("extracted_text").alias("clean_len"),
+        F.sha2(F.col("extracted_text"), 256).alias("clean_sha"))
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _raw_mentions(spark, sf_dir).select("url", "surface", "label", "type", "pos")
+
+
+def q_mentions_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-13: the reference's regex NER patterns, fully JVM-side via
+    regexp_extract_all (no UDF) — pattern 1: capitalized pairs → PERSON."""
+    d = tables.docs_table(spark, sf_dir, with_html=False)
+    pairs = d.select(
+        "url",
+        F.explode(F.expr(
+            r"regexp_extract_all(body_text, '[A-ZÄÖÜ][a-zäöüß]+ [A-ZÄÖÜ][a-zäöüß]+', 0)"
+        )).alias("label")).withColumn("type", F.lit("PERSON"))
+    known = d.select(
+        "url",
+        F.explode(F.expr(
+            r"regexp_extract_all(body_text, 'Deutschland|Österreich|Schweiz|Berlin|München|Hamburg', 0)"
+        )).alias("label")).withColumn("type", F.lit("LOCATION"))
+    return pairs.unionByName(known)
+
+
+def q_mention_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _capped(spark, sf_dir).select("url", "label", "type", "pos", "mention_idx")
+
+
+def q_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.filter_types(_capped(spark, sf_dir), ["PERSON", "LOCATION"]) \
+        .select("url", "label", "type", "mention_idx")
+
+
+def q_probe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = _capped(spark, sf_dir).select("label", "link_lang").distinct()
+    p = linking.probe_keys_df(keys)
+    w = Window.partitionBy("label", "link_lang").orderBy("prio")
+    return p.select("label", "link_lang", "probe", "probe_lang",
+                    F.row_number().over(w).alias("probe_rank"))
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import redirects_df
+    keys = _capped(spark, sf_dir).select("label", "link_lang").distinct()
+    p = linking.probe_keys_df(keys)
+    r = redirects_df(spark).withColumnRenamed("lang", "r_lang")
+    return (p.join(F.broadcast(r), (p.probe == r.from_title) & (p.probe_lang == r.r_lang), "left")
+            .select("label", "link_lang", "probe", "probe_lang",
+                    F.coalesce("to_title", "probe").alias("resolved")))
+
+
+def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import aliases_df, kb_pages_df, redirects_df
+    keys = _capped(spark, sf_dir).select("label", "link_lang").distinct()
+    p = linking.probe_keys_df(keys)
+    c = linking.resolve_candidates(p, redirects_df(spark), aliases_df(spark), kb_pages_df(spark))
+    return c.select("label", "link_lang", "probe_lang", "title", "wikidata_id")
+
+
+def q_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import aliases_df, kb_pages_df, redirects_df
+    keys = _capped(spark, sf_dir).select("label", "link_lang").distinct()
+    p = linking.probe_keys_df(keys)
+    c = linking.resolve_candidates(p, redirects_df(spark), aliases_df(spark), kb_pages_df(spark))
+    return linking.pick_best(c).select("label", "link_lang", "hit_lang", "title", "wikidata_id")
+
+
+ENTITY_COLS = ["url", "label", "type", "mention_idx", "label_de", "label_en",
+               "url_de", "url_en", "extract", "wikidata_id", "thumbnail_url",
+               "infobox_type", "geo_lat", "geo_lon", "dbpedia_uri",
+               "wiki_status", "status", "entity_id"]
+
+
+def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _entities(spark, sf_dir)
+    return e.select(*ENTITY_COLS,
+                    _arr_str(F.col("categories")).alias("categories_str"),
+                    _arr_str(F.col("internal_links")).alias("links_str"))
+
+
+def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.emit_triples(_entities(spark, sf_dir))
+
+
+def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.nodes_table(_entities(spark, sf_dir))
+
+
+def q_types_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.types_distribution(_entities(spark, sf_dir))
+
+
+def q_top10_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.top10(_entities(spark, sf_dir), "categories")
+
+
+def q_top10_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.top10(_entities(spark, sf_dir), "internal_links")
+
+
+def q_linked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.linked_stats(_entities(spark, sf_dir))
+
+
+def q_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.extraction_stats(_entities(spark, sf_dir))
+
+
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 connected components (iterative self-join loop; oracle = recursive
+    CTE transitive closure)."""
+    from ..operators.canonicalize import canonical_entities
+    return canonical_entities(_entities(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_corpus(spark, sf_dir):
+    """documents + deterministic exact/near duplicates (mirrored by the
+    oracle's `dd` CTE) so dedup operators have real work."""
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (d.filter(F.col("doc_id") % 10 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near = (d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zusatz anhang")).alias("text")))
+    return d.unionByName(exact).unionByName(near)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    return dedup.exact_dedup_groups(_dedup_corpus(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    return dedup.fingerprint(_dedup_corpus(spark, sf_dir))
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    return dedup.minhash_signatures(_dedup_corpus(spark, sf_dir))
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    return dedup.lsh_candidate_pairs(_dedup_corpus(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    return dedup.jaccard_pairs(_dedup_corpus(spark, sf_dir))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats
+    return textstats.language_id(tables.load(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats
+    return textstats.quality_score(tables.load(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats
+    return textstats.token_counts(tables.load(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    return similarity.brute_force_topk(tables.load(spark, sf_dir, "embeddings"))
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    return similarity.lsh_buckets(tables.load(spark, sf_dir, "embeddings"))
+
+
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    return similarity.embedding_near_dups(tables.load(spark, sf_dir, "embeddings"),
+                                          threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# events (batch analog of the streaming stage) + downstream content ops
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch twin of the
+    streaming session-window operator."""
+    e = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    sess = (e.withColumn("new_sess", gap)
+            .withColumn("session_no", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start")))
+
+
+def q_split_text_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-38 char mode: fixed windows advancing by chunk-overlap, as native
+    sequence+substring (sentence mode stays a pandas UDF, unit-tested)."""
+    d = tables.load(spark, sf_dir, "documents")
+    chunk, overlap = 200, 50
+    starts = F.sequence(F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)),
+                        F.lit(chunk - overlap))
+    return (d.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+            .select("doc_id", "chunk_idx",
+                    F.trim(F.regexp_replace(
+                        F.substring(F.col("text"), F.col("start") + 1, chunk),
+                        r"\s+", " ")).alias("chunk")))
+
+
+def q_qa_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-25: distribute (1 + doc_id%12) QA pairs over the 8 default levels."""
+    from ..refsem import DEFAULT_LEVELS
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 12).alias("n_pairs"))
+    levels = spark.createDataFrame(
+        [(i, lvl) for i, lvl in enumerate(DEFAULT_LEVELS)], "level_idx int, level string")
+    k = len(DEFAULT_LEVELS)
+    return (d.crossJoin(F.broadcast(levels))
+            .select("doc_id", "level",
+                    ((F.col("n_pairs") / k).cast("int")
+                     + F.when(F.col("level_idx") < F.col("n_pairs") % k, 1).otherwise(0)
+                     ).alias("pairs_for_level")))
+
+
+def q_topic_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-43: first sentence if >10 chars else first-100-chars fallback."""
+    d = tables.load(spark, sf_dir, "documents")
+    first = F.trim(F.element_at(F.split("text", r"\."), 1))
+    return d.select(
+        "doc_id",
+        F.when(F.length(first) > 10, first)
+         .otherwise(F.when(F.length("text") > 100, F.trim(F.substring("text", 1, 100)))
+                    .otherwise(F.trim("text"))).alias("topic"))
+
+
+def q_compendium_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-31/O-44: per-document numbered bibliography — prefer url_de, dedup
+    preserving mention order."""
+    e = _entities(spark, sf_dir)
+    refs = (e.withColumn("ref", F.when(F.col("url_de") != "", F.col("url_de"))
+                         .otherwise(F.col("url_en")))
+            .filter(F.col("ref") != ""))
+    w_first = Window.partitionBy("url", "ref").orderBy("mention_idx")
+    w_num = Window.partitionBy("url").orderBy("mention_idx")
+    return (refs.withColumn("_rn", F.row_number().over(w_first)).filter(F.col("_rn") == 1)
+            .withColumn("ref_idx", F.row_number().over(w_num))
+            .select("url", "ref_idx", "ref"))
+
+
+def q_entity_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-44: '**{label}**: {extract}' blocks joined per document in mention
+    order (compendium context assembly)."""
+    e = _entities(spark, sf_dir)
+    blocks = (e.filter(F.col("extract") != "")
+              .withColumn("block", F.concat(F.lit("**"), F.col("label"), F.lit("**: "),
+                                            F.col("extract"))))
+    return (blocks.groupBy("url")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("mention_idx", "block"))),
+                            lambda s: s["block"]), "\n\n").alias("context")))
+
+
+QUERIES = {
+    "q01_docs_derive": q_docs_derive,
+    "q02_clean_text": q_clean_text,
+    "q03_mentions": q_mentions,
+    "q04_mentions_regex": q_mentions_regex,
+    "q05_mention_dedup_cap": q_mention_dedup_cap,
+    "q06_type_filter": q_type_filter,
+    "q07_probe_keys": q_probe_keys,
+    "q08_redirect_resolve": q_redirect_resolve,
+    "q09_candidates": q_candidates,
+    "q10_best_pick": q_best_pick,
+    "q11_entities": q_entities,
+    "q12_triples": q_triples,
+    "q13_nodes": q_nodes,
+    "q14_types_distribution": q_types_distribution,
+    "q15_top10_categories": q_top10_categories,
+    "q16_top10_links": q_top10_links,
+    "q17_linked_stats": q_linked_stats,
+    "q18_extraction_stats": q_extraction_stats,
+    "q19_canonicalize": q_canonicalize,
+    "q20_dedup_exact": q_dedup_exact,
+    "q21_fingerprint": q_fingerprint,
+    "q22_minhash_sig": q_minhash_sig,
+    "q23_lsh_pairs": q_lsh_pairs,
+    "q24_jaccard_pairs": q_jaccard_pairs,
+    "q25_language_id": q_language_id,
+    "q26_quality_score": q_quality_score,
+    "q27_token_counts": q_token_counts,
+    "q28_ann_topk": q_ann_topk,
+    "q29_ann_lsh_buckets": q_ann_lsh_buckets,
+    "q30_embed_near_dups": q_embed_near_dups,
+    "q31_events_hourly": q_events_hourly,
+    "q32_sessionize": q_sessionize,
+    "q33_split_text_char": q_split_text_char,
+    "q34_qa_distribution": q_qa_distribution,
+    "q35_topic_extract": q_topic_extract,
+    "q36_compendium_refs": q_compendium_refs,
+    "q37_entity_context": q_entity_context,
+}

@@ -25,12 +25,23 @@ import re
 _WS_RUN = re.compile(r"\s+")
 
 
+_TNR_TO_SPACE = {9: 32, 10: 32, 13: 32}
+
+
 def clean_text(text: str) -> str:
     """JSON-safe cleaning: non-printables (except \\t\\n\\r) -> space, collapse
     whitespace runs to one space, strip.  Must stay bit-exact: it feeds the
-    byte-identical-extracted-text invariant (BASELINE.json input_hint)."""
+    byte-identical-extracted-text invariant (BASELINE.json input_hint).
+
+    Fast path: when every char is printable-or-\\t\\n\\r (checked at C speed
+    via translate+isprintable), the per-char scan is provably the identity,
+    so only the whitespace collapse runs.  The exact char loop remains the
+    fallback for dirty input — semantics identical by construction.
+    """
     if not text:
         return text
+    if text.translate(_TNR_TO_SPACE).isprintable():
+        return _WS_RUN.sub(" ", text).strip()
     kept = [c if (c.isprintable() or c in "\t\n\r") else " " for c in text]
     return _WS_RUN.sub(" ", "".join(kept)).strip()
 

@@ -40,7 +40,34 @@ def docs_table(spark: SparkSession, sf_dir: str, with_html: bool = True) -> Data
     ~50% of pages, per the north rule's skew requirement); `html` wraps it in
     deterministic boilerplate so the extract stage has real work.
     """
-    d = load(spark, sf_dir, "documents")
+    return derive_docs(load(spark, sf_dir, "documents"), with_html=with_html)
+
+
+def replicate_documents(documents: DataFrame, k: int, heavy: int = 1) -> DataFrame:
+    """Deterministically scale the corpus for throughput benchmarking:
+    ×k rows (each copy gets a distinct doc_id = doc_id*k + copy, preserving
+    the sentence/skew injection pattern) and ×heavy text length (text
+    repeated, space-joined — real web pages are KBs, the driver rows are
+    ~400 B).  doc_id must stay under 10^6: the url template zero-pads to 6
+    digits and lpad TRUNCATES longer ids, which would silently collide urls.
+    """
+    docs = documents
+    if k > 1:
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        if (mx + 1) * k > 1_000_000:  # max id = (mx+1)*k - 1 must stay < 10^6
+            raise ValueError(f"replicate k={k} with max doc_id={mx} overflows the "
+                             "6-digit url namespace (urls would collide)")
+        docs = (docs
+                .withColumn("_copy", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+                .withColumn("doc_id", F.col("doc_id") * k + F.col("_copy"))
+                .drop("_copy"))
+    if heavy > 1:
+        docs = docs.withColumn(
+            "text", F.array_join(F.array_repeat(F.col("text"), heavy), " "))
+    return docs
+
+
+def derive_docs(d: DataFrame, with_html: bool = True) -> DataFrame:
     body = F.concat(
         F.col("text"), F.lit(" "), _sentence_case_col(),
         F.when(F.col("doc_id") % 2 == 0, F.lit(" " + fixtures.SKEW_SENTENCE)).otherwise(F.lit("")),

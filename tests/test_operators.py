@@ -1,0 +1,106 @@
+"""Operator-level tests: fused-path equivalence, dedup, similarity,
+checkpoint resume, canonicalization fixpoint."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_SMALL
+
+
+def test_fused_equals_composable(spark):
+    """The map-only fused pipeline (python dedup + precomputed resolution)
+    must produce exactly the relational pipeline's entities."""
+    from entity_extractor_linker_api_v2_spark.plans.pipeline import run_pipeline
+    cols = ["url", "label", "type", "pos", "mention_idx", "label_de", "label_en",
+            "wikidata_id", "status", "wiki_status", "dbpedia_uri", "entity_id"]
+    a = run_pipeline(spark, SF_SMALL)["entities"].select(cols)
+    b = run_pipeline(spark, SF_SMALL, fused=True)["entities"].select(cols)
+    la, lb = a.collect(), b.collect()
+    assert len(la) == len(lb)
+    assert {tuple(r) for r in la} == {tuple(r) for r in lb}
+
+
+def test_exact_dedup_groups(spark):
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b c"), (3, "unique text here"), (4, "A B C")],
+        "doc_id long, text string")
+    groups = dedup.exact_dedup_groups(df).collect()
+    # normalization: lower + whitespace collapse → docs 1,2,4 are one group
+    assert len(groups) == 1
+    assert groups[0].n_dups == 3 and groups[0].keep_id == 1
+
+
+def test_minhash_identical_docs_same_sig(spark):
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely distinct tokens here")],
+        "doc_id long, text string")
+    sig = dedup.minhash_signatures(df).collect()
+    s1 = sorted((r.sig_idx, r.minhash) for r in sig if r.doc_id == 1)
+    s2 = sorted((r.sig_idx, r.minhash) for r in sig if r.doc_id == 2)
+    s3 = sorted((r.sig_idx, r.minhash) for r in sig if r.doc_id == 3)
+    assert s1 == s2 != s3
+    pairs = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    jac = {(r.a, r.b): r.jaccard for r in dedup.jaccard_pairs(df).collect()}
+    assert jac[(1, 2)] == 1.0
+
+
+def test_lsh_short_doc_excluded(spark):
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+    df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+    assert dedup.minhash_signatures(df).count() == 0
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import duckdb
+    import numpy as np
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = similarity.brute_force_topk(emb, k=5).collect()
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet'").fetchall()
+    q = np.array(similarity.query_vector())
+    scored = sorted(
+        ((float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))), vid)
+         for vid, v in ((r[0], np.array(r[1], dtype=np.float64)) for r in rows)),
+        key=lambda t: (-t[0], t[1]))
+    assert [r.vec_id for r in got] == [vid for _, vid in scored[:5]]
+    for r, (s, _) in zip(got, scored[:5]):
+        assert float(r.cosine) == pytest.approx(round(s, 3), abs=2e-3)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from entity_extractor_linker_api_v2_spark.sources.checkpoint import StageCheckpoint
+    ck = StageCheckpoint(spark, str(tmp_path))
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    out = ck.write("stage1", df, {"v": 1})
+    assert out.count() == 100
+    m = ck.manifest("stage1")
+    assert m["rows"] == 100 and m["status"] == "complete"
+    assert sum(m["partition_rows"].values()) == 100
+    # same config -> resume (reads snapshot even if input would differ)
+    out2 = ck.write("stage1", spark.range(5), {"v": 1})
+    assert out2.count() == 100
+    # changed config -> recompute
+    out3 = ck.write("stage1", spark.range(5), {"v": 2})
+    assert out3.count() == 5
+
+
+def test_cc_fixpoint_chain(spark):
+    from entity_extractor_linker_api_v2_spark.operators.canonicalize import connected_components
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "a string, b string")
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_salt_and_precomputed_paths_match(spark):
+    from entity_extractor_linker_api_v2_spark.plans.pipeline import run_pipeline
+    cols = ["url", "label", "status", "wikidata_id"]
+    a = {tuple(r) for r in run_pipeline(spark, SF_SMALL)["entities"].select(cols).collect()}
+    c = {tuple(r) for r in run_pipeline(spark, SF_SMALL, n_salt=4)["entities"].select(cols).collect()}
+    assert a == c

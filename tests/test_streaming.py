@@ -1,0 +1,32 @@
+"""Streaming ingest: availableNow file-source run must equal the batch
+pipeline's entities on the same corpus, and resume incrementally."""
+
+import duckdb
+
+from conftest import SF_SMALL
+
+
+def test_available_now_ingest_matches_batch(spark, tmp_path):
+    from entity_extractor_linker_api_v2_spark.plans.pipeline import run_pipeline
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import run_ingest
+
+    docs_dir, out_dir, ck_dir = (str(tmp_path / d) for d in ("docs", "out", "ck"))
+    spark.read.parquet(f"{SF_SMALL}/documents.parquet").write.parquet(docs_dir)
+
+    run_ingest(spark, docs_dir, out_dir, ck_dir)
+    got = spark.read.parquet(out_dir)
+    want = run_pipeline(spark, SF_SMALL, fused=True)["entities"]
+    cols = ["url", "label", "status", "wikidata_id", "label_de"]
+    assert {tuple(r) for r in got.select(cols).collect()} == \
+        {tuple(r) for r in want.select(cols).collect()}
+
+    # incremental restart: appending new files processes ONLY the delta
+    extra = duckdb.connect().execute(
+        f"SELECT doc_id + 900000 AS doc_id, text, lang, source, n_chars "
+        f"FROM '{SF_SMALL}/documents.parquet' LIMIT 50").fetchdf()
+    spark.createDataFrame(extra).write.mode("append").parquet(docs_dir)
+    n_before = got.count()
+    run_ingest(spark, docs_dir, out_dir, ck_dir)
+    n_after = spark.read.parquet(out_dir).count()
+    assert n_after > n_before
+    assert n_after - n_before < n_before  # only the delta was processed
