@@ -511,6 +511,61 @@ FROM (
   WHERE ref <> ''
   QUALIFY row_number() OVER (PARTITION BY url, ref ORDER BY mention_idx) = 1) r1""")
 
+ORACLE["q39_qa_parse"] = """
+WITH content AS (
+  SELECT doc_id,
+         'Was ist X?;' || substr(text, 1, 50) || chr(10) ||
+         '2. Wie geht es?;' || substr(text, 51, 80) AS c
+  FROM documents),
+lines AS (SELECT doc_id, unnest(string_split(c, chr(10))) AS line FROM content),
+parsed AS (
+  SELECT doc_id,
+         trim(string_split(line, ';')[1]) AS q0,
+         trim(string_split(line, ';')[2]) AS a0
+  FROM lines)
+SELECT doc_id,
+       regexp_replace(regexp_replace(q0, '^\\d+[.)\\s]+', ''),
+                      '^[a-zA-Z][.)\\s]+', '') AS question,
+       CASE WHEN length(a0) > 20 THEN substr(a0, 1, 17) || '...' ELSE a0 END AS answer
+FROM parsed
+WHERE regexp_replace(regexp_replace(q0, '^\\d+[.)\\s]+', ''),
+                     '^[a-zA-Z][.)\\s]+', '') <> ''
+  AND (CASE WHEN length(a0) > 20 THEN substr(a0, 1, 17) || '...' ELSE a0 END) <> ''"""
+
+ORACLE["q42_category_strip"] = """
+SELECT doc_id,
+       array_to_string(list_transform(
+         ['Category:' || source, 'Kategorie:' || lang, source],
+         c -> regexp_replace(c, '^(Category|Kategorie):', '')), '|') AS categories_str
+FROM documents"""
+
+ORACLE["q43_json_props"] = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod10
+FROM events"""
+
+ORACLE["q44_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+ORACLE["q45_top_customers"] = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
 ORACLE["q37_entity_context"] = _full_chain("""
 SELECT url, string_agg('**' || label || '**: ' || extract, chr(10) || chr(10)
                        ORDER BY mention_idx) AS context

@@ -350,6 +350,110 @@ def q_entity_context(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lambda s: s["block"]), "\n\n").alias("context")))
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-38 sentence mode: the stateful greedy-packing chunker as an
+    Arrow-batched pandas UDF (refsem.split_text) — not SQL-expressible, so
+    no oracle entry: the driver records a rows-only check; the algorithm is
+    pinned by the refsem unit truth tables instead."""
+    import pandas as pd  # noqa: F401 — needed for the UDF type hints
+    from pyspark.sql import types as T
+    from .. import refsem
+
+    def _split(texts):
+        return texts.map(lambda t: refsem.split_text(t, 120, 30))
+
+    split_udf = F.pandas_udf(_split, T.ArrayType(T.StringType()),
+                             F.PandasUDFType.SCALAR)
+
+    d = tables.load(spark, sf_dir, "documents")
+    return (d.select("doc_id", F.posexplode(split_udf("text")).alias("chunk_idx", "chunk")))
+
+
+def q_qa_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-40/O-41: semicolon QA-line parsing + numbering strip + answer
+    truncation over a deterministically derived content column."""
+    d = tables.load(spark, sf_dir, "documents")
+    content = F.concat(
+        F.lit("Was ist X?;"), F.substring("text", 1, 50), F.lit("\n"),
+        F.lit("2. Wie geht es?;"), F.substring("text", 51, 80))
+    line = F.explode(F.split(content, "\n")).alias("line")
+    parts = F.split(F.col("line"), ";", 2)
+    q0 = F.trim(F.element_at(parts, 1))
+    a0 = F.trim(F.element_at(parts, 2))
+    q1 = F.regexp_replace(F.regexp_replace(q0, r"^\d+[.)\s]+", ""),
+                          r"^[a-zA-Z][.)\s]+", "")
+    a1 = F.when(F.length(a0) > 20,
+                F.concat(F.substring(a0, 1, 17), F.lit("..."))).otherwise(a0)
+    return (d.select("doc_id", line)
+            .select("doc_id", q1.alias("question"), a1.alias("answer"))
+            .filter((F.col("question") != "") & (F.col("answer") != "")))
+
+
+def q_category_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-39: Category:/Kategorie: prefix strip via transform over an array
+    column (derived deterministically from documents)."""
+    d = tables.load(spark, sf_dir, "documents")
+    cats = F.array(F.concat(F.lit("Category:"), F.col("source")),
+                   F.concat(F.lit("Kategorie:"), F.col("lang")),
+                   F.col("source"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.transform(cats, lambda c: F.regexp_replace(
+            c, "^(Category|Kategorie):", "")), "|").alias("categories_str"))
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-40 (from_json half): parse the events.props JSON string column."""
+    e = tables.load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k int").getField("k").alias("k"),
+        (F.from_json("props", "k int").getField("k") % 10).alias("k_mod10"))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary over lineitem (engine generality:
+    classic scan→filter→groupBy→multi-agg with map-side partials)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k: revenue per customer with nation dimension
+    (broadcast join of dims; the classic star-schema shape)."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: decode/feature-extract binary payloads via
+    mapInPandas (deterministic stub decoder) — rows-only check."""
+    from ..operators import multimodal
+    return multimodal.extract_features(multimodal.synth_media(spark, 256))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (explode over frame ids) — rows-only."""
+    from ..operators import multimodal
+    media = multimodal.synth_media(spark, 256)
+    return (multimodal.frame_sample(media, every=2)
+            .select("media_id", "frame_id", F.length("payload").alias("n_bytes")))
+
+
 QUERIES = {
     "q01_docs_derive": q_docs_derive,
     "q02_clean_text": q_clean_text,
@@ -388,4 +492,16 @@ QUERIES = {
     "q35_topic_extract": q_topic_extract,
     "q36_compendium_refs": q_compendium_refs,
     "q37_entity_context": q_entity_context,
+    "q38_split_sentences": q_split_sentences,
+    "q39_qa_parse": q_qa_parse,
+    "q40_media_features": q_media_features,
+    "q41_frame_sample": q_frame_sample,
+    "q42_category_strip": q_category_strip,
+    "q43_json_props": q_json_props,
+    "q44_pricing_summary": q_pricing_summary,
+    "q45_top_customers": q_top_customers,
 }
+
+# queries intentionally WITHOUT an oracle twin (non-SQL-expressible: stateful
+# python chunker / binary payload decode); driver records rows-only checks.
+ROWS_ONLY = {"q38_split_sentences", "q40_media_features", "q41_frame_sample"}
