@@ -29,6 +29,41 @@ def mention_stage(docs_with_text: DataFrame, max_entities: int = 10,
     return M.dedup_and_cap(m, max_entities)
 
 
+def run_pipeline_checkpointed(spark: SparkSession, sf_dir: str, root: str,
+                              max_entities: int = 10,
+                              force: bool = False) -> dict[str, "DataFrame"]:
+    """Stage-checkpointed pipeline (north rule resumability): every stage is
+    materialized as a snapshot (parquet + per-partition row manifest) keyed
+    by its config hash; a rerun — e.g. after a mid-job failure at 10^12-page
+    scale — reuses every stage whose manifest matches and recomputes only
+    downstream of the first change.  Stage boundaries are the natural
+    restart points: mentions (the expensive Python scan), entities, triples,
+    nodes."""
+    from .. import fixtures
+    from ..operators.extract import extract_and_detect
+    from ..sources.checkpoint import StageCheckpoint
+
+    ck = StageCheckpoint(spark, root)
+    cfg = {"sf_dir": sf_dir, "max_entities": max_entities,
+           "gazetteer_n": len(fixtures.GAZETTEER), "kb_n": len(fixtures.KB_PAGES)}
+
+    docs = tables.docs_table(spark, sf_dir)
+    ments = ck.write("mentions",
+                     extract_and_detect(docs, dedup=True, max_entities=max_entities),
+                     {**cfg, "stage": "mentions"}, force=force)
+    resolved = linking.resolve_label_universe(
+        spark, [lbl for _, lbl, _ in fixtures.GAZETTEER])
+    entities = ck.write("entities",
+                        linking.link_mentions_precomputed(ments, resolved),
+                        {**cfg, "stage": "entities"}, force=force)
+    triples = ck.write("triples", T.emit_triples(entities),
+                       {**cfg, "stage": "triples"}, force=force)
+    nodes = ck.write("nodes", T.nodes_table(entities),
+                     {**cfg, "stage": "nodes"}, force=force)
+    return {"mentions": ments, "entities": entities, "triples": triples,
+            "nodes": nodes, "checkpoint": ck}
+
+
 def run_pipeline(spark: SparkSession, sf_dir: str, max_entities: int = 10,
                  n_salt: int = 0, use_html: bool = True,
                  fused: bool = False) -> dict[str, DataFrame]:

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the deterministic semantic core —
+the functions whose byte-level behavior anchors the whole pipeline."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_extractor_linker_api_v2_spark import refsem
+
+text_st = st.text(max_size=300)
+safe_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüßABCDEFGHIJKLMNOPQRSTUVWXYZÄÖÜ",
+                    min_size=1, max_size=20)
+
+
+def _clean_reference(text: str) -> str:
+    """Independent re-statement of the cleaning rule (char loop only) to pin
+    the fast path against."""
+    if not text:
+        return text
+    kept = "".join(c if (c.isprintable() or c in "\t\n\r") else " " for c in text)
+    return re.sub(r"\s+", " ", kept).strip()
+
+
+@given(text_st)
+@settings(max_examples=300)
+def test_clean_text_fast_path_equals_reference(s):
+    assert refsem.clean_text(s) == _clean_reference(s)
+
+
+@given(text_st)
+def test_clean_text_idempotent(s):
+    once = refsem.clean_text(s)
+    assert refsem.clean_text(once) == once
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=200))
+@settings(max_examples=200)
+def test_clean_text_output_is_json_safe(s):
+    out = refsem.clean_text(s)
+    assert all(c.isprintable() or c == " " for c in out)
+    assert "  " not in out
+    assert out == out.strip()
+
+
+@given(st.text(alphabet="abc .!?", min_size=0, max_size=200),
+       st.integers(2, 50), st.integers(0, 10))
+def test_split_char_mode_window_arithmetic(s, chunk, overlap):
+    if overlap >= chunk:
+        overlap = chunk - 1
+    chunks = refsem.split_text(s, chunk, overlap, preserve_sentences=False)
+    s = s.strip()
+    if not s:
+        assert chunks == []
+        return
+    step = chunk - overlap
+    assert len(chunks) == (len(s) + step - 1) // step
+    # raw windows reassemble the text
+    raw = [s[i * step: i * step + chunk] for i in range(len(chunks))]
+    assert all(refsem.clean_text(r) == c for r, c in zip(raw, chunks))
+
+
+@given(st.text(alphabet="abcdef .!?", min_size=1, max_size=300))
+def test_split_sentence_mode_covers_all_words(s):
+    chunks = refsem.split_text(s, 40, 10)
+    joined = " ".join(chunks)
+    for w in refsem.clean_text(s).replace(".", " ").replace("!", " ") \
+            .replace("?", " ").split():
+        assert w in joined
+
+
+@given(safe_word)
+def test_variations_exclude_original_and_dedupe(w):
+    v = refsem.name_variations(w)
+    assert w not in v
+    assert len(v) == len(set(v))
+
+
+@given(safe_word)
+def test_probe_keys_identity_first(w):
+    pk = refsem.probe_keys(w)
+    assert pk[0] == (w, 0)
+    prios = [p for _, p in pk]
+    assert prios == sorted(prios)
+
+
+@given(st.integers(0, 1000), st.integers(1, 20))
+def test_distribute_pairs_fair(n, k):
+    levels = [f"L{i}" for i in range(k)]
+    d = refsem.distribute_pairs(n, levels)
+    assert sum(d.values()) == n
+    assert max(d.values()) - min(d.values()) <= 1
+    # earlier levels get the remainder (qa.py:224-233)
+    vals = [d[lvl] for lvl in levels]
+    assert vals == sorted(vals, reverse=True)
+
+
+@given(text_st)
+def test_html_roundtrip_any_text(s):
+    cleaned = refsem.clean_text(s)
+    assert refsem.extract_text(refsem.render_html(s)) == cleaned
+
+
+@given(st.text(alphabet="abcXYZ;?! \n1.)", max_size=200), st.integers(5, 50))
+def test_qa_parse_truncation_bound(content, max_chars):
+    for q, a in refsem.parse_qa_lines(content, max_chars=max_chars):
+        assert q and a
+        assert len(a) <= max_chars
