@@ -81,6 +81,27 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("a", "b").distinct())
 
 
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document, fully native (zero Python, zero shuffle):
+    word hash = first 8 md5 hex chars as int (identical in Spark `conv` and
+    DuckDB '0x'-cast); per-bit majority vote over the word multiset; tie→0.
+    Equal simhash = near-dup bucket; Hamming-close pairs via bucket join on
+    bit-band substrings (same band trick as MinHash-LSH)."""
+    words = F.split(F.lower(text_col), " ")
+    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8),
+                                                 16, 10).cast("long"))
+    def bit_vote(b):
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"))
+    bits = F.concat(*[F.when(bit_vote(b) > 0, F.lit("1")).otherwise(F.lit("0"))
+                      for b in range(SIMHASH_BITS - 1, -1, -1)])
+    return df.select(F.col(id_col), bits.alias("simhash"))
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   threshold: float = 0.5) -> DataFrame:
     """Exact 3-word-shingle Jaccard on LSH candidates only."""

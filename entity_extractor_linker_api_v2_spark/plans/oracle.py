@@ -566,6 +566,60 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20"""
 
+ORACLE["q46_simhash"] = _dd_with(_DD, final="""
+SELECT doc_id,
+       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS simhash
+FROM (
+  SELECT doc_id, b.i AS b,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(unnest(string_split(lower(text), ' '))), 1, 8))::BIGINT AS h
+        FROM dd) wh,
+       unnest(range(0, 32)) b(i)
+  GROUP BY doc_id, b.i) votes
+GROUP BY doc_id""")
+
+ORACLE["q47_compendium"] = _full_chain("""
+SELECT t.url,
+       '# ' || t.topic || chr(10) || chr(10) ||
+       coalesce(c.context, '*Keine Quellen verfügbar.*') || chr(10) || chr(10) ||
+       '## Literaturverzeichnis' || chr(10) || chr(10) ||
+       coalesce(b.bib, '*Keine Referenzen verfügbar.*') AS markdown
+FROM (SELECT url,
+             CASE WHEN length(trim(string_split(body_text, '.')[1])) > 10
+                  THEN trim(string_split(body_text, '.')[1])
+                  ELSE trim(substr(body_text, 1, 100)) END AS topic
+      FROM docs) t
+LEFT JOIN (SELECT url, string_agg('**' || label || '**: ' || extract,
+                                  chr(10) || chr(10) ORDER BY mention_idx) AS context
+           FROM entities WHERE extract <> '' GROUP BY url) c ON t.url = c.url
+LEFT JOIN (SELECT url, string_agg(CAST(ref_idx AS VARCHAR) || '. ' || ref,
+                                  chr(10) ORDER BY ref_idx) AS bib
+           FROM (SELECT url,
+                        row_number() OVER (PARTITION BY url ORDER BY mention_idx) AS ref_idx,
+                        ref
+                 FROM (SELECT url, mention_idx,
+                              CASE WHEN url_de <> '' THEN url_de ELSE url_en END AS ref
+                       FROM entities) r0
+                 WHERE ref <> ''
+                 QUALIFY row_number() OVER (PARTITION BY url, ref ORDER BY mention_idx) = 1) r1
+           GROUP BY url) b ON t.url = b.url""")
+
+
+def _levels_array() -> str:
+    from ..refsem import DEFAULT_LEVELS
+    return "[" + ", ".join(f"'{lv}'" for lv in DEFAULT_LEVELS) + "]"
+
+
+ORACLE["q48_qa_pairs"] = _full_chain(f"""
+SELECT url,
+       'Was ist ' || label || '?' AS question,
+       CASE WHEN length(extract) > 200 THEN substr(extract, 1, 197) || '...'
+            ELSE extract END AS answer,
+       'Bildungsstufe' AS level_property,
+       ({_levels_array()})[(mention_idx - 1) % 8 + 1] AS level_value
+FROM entities WHERE extract <> ''""")
+
 ORACLE["q37_entity_context"] = _full_chain("""
 SELECT url, string_agg('**' || label || '**: ' || extract, chr(10) || chr(10)
                        ORDER BY mention_idx) AS context

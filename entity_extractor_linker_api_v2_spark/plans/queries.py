@@ -439,6 +439,70 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("revenue"), "c_custkey").limit(20))
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    return dedup.simhash(_dedup_corpus(spark, sf_dir))
+
+
+def q_compendium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full /compendium analog: per document assemble topic (O-43) +
+    entity-context blocks (O-44) + numbered bibliography (O-31/O-44) into
+    one markdown column — the deterministic half of compendium.py:191-216."""
+    e = _entities(spark, sf_dir).persist()
+    docs = tables.docs_table(spark, sf_dir, with_html=False)
+    first = F.trim(F.element_at(F.split("body_text", r"\."), 1))
+    topic = (docs.select("url", F.when(F.length(first) > 10, first)
+                         .otherwise(F.trim(F.substring("body_text", 1, 100)))
+                         .alias("topic")))
+    blocks = (e.filter(F.col("extract") != "")
+              .withColumn("block", F.concat(F.lit("**"), F.col("label"),
+                                            F.lit("**: "), F.col("extract")))
+              .groupBy("url")
+              .agg(F.array_join(
+                  F.transform(F.array_sort(F.collect_list(F.struct("mention_idx", "block"))),
+                              lambda s: s["block"]), "\n\n").alias("context")))
+    refs = (e.withColumn("ref", F.when(F.col("url_de") != "", F.col("url_de"))
+                         .otherwise(F.col("url_en")))
+            .filter(F.col("ref") != ""))
+    w_first = Window.partitionBy("url", "ref").orderBy("mention_idx")
+    w_num = Window.partitionBy("url").orderBy("mention_idx")
+    bib = (refs.withColumn("_rn", F.row_number().over(w_first)).filter(F.col("_rn") == 1)
+           .withColumn("ref_idx", F.row_number().over(w_num))
+           .groupBy("url")
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list(F.struct("ref_idx", "ref"))),
+                           lambda s: F.concat(s["ref_idx"].cast("string"),
+                                              F.lit(". "), s["ref"])), "\n").alias("bib")))
+    return (topic.join(blocks, "url", "left").join(bib, "url", "left")
+            .select("url", F.concat(
+                F.lit("# "), F.col("topic"), F.lit("\n\n"),
+                F.coalesce(F.col("context"), F.lit("*Keine Quellen verfügbar.*")),
+                F.lit("\n\n## Literaturverzeichnis\n\n"),
+                F.coalesce(F.col("bib"), F.lit("*Keine Referenzen verfügbar.*"))
+            ).alias("markdown")))
+
+
+def q_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full /qa analog (deterministic half): one QA pair per linked entity
+    with answers truncated per O-41 and educational levels assigned
+    round-robin per O-25 (qa.py:224-233 order)."""
+    from ..refsem import DEFAULT_LEVELS
+    e = _entities(spark, sf_dir).filter(F.col("extract") != "")
+    k = len(DEFAULT_LEVELS)
+    level = F.element_at(
+        F.array(*[F.lit(lv) for lv in DEFAULT_LEVELS]),
+        ((F.col("mention_idx") - 1) % k + 1).cast("int"))
+    answer = F.when(F.length("extract") > 200,
+                    F.concat(F.substring("extract", 1, 197), F.lit("..."))
+                    ).otherwise(F.col("extract"))
+    return e.select(
+        "url",
+        F.concat(F.lit("Was ist "), F.col("label"), F.lit("?")).alias("question"),
+        answer.alias("answer"),
+        F.lit("Bildungsstufe").alias("level_property"),
+        level.alias("level_value"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: decode/feature-extract binary payloads via
     mapInPandas (deterministic stub decoder) — rows-only check."""
@@ -500,6 +564,9 @@ QUERIES = {
     "q43_json_props": q_json_props,
     "q44_pricing_summary": q_pricing_summary,
     "q45_top_customers": q_top_customers,
+    "q46_simhash": q_simhash,
+    "q47_compendium": q_compendium,
+    "q48_qa_pairs": q_qa_pairs,
 }
 
 # queries intentionally WITHOUT an oracle twin (non-SQL-expressible: stateful
