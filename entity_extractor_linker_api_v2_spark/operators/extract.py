@@ -37,7 +37,7 @@ MENTION_SCHEMA = T.ArrayType(T.StructType([
 
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    return html.map(refsem.extract_text)
+    return refsem.extract_text_series(html)
 
 
 MENTION_ROWS_SCHEMA = T.StructType([
@@ -73,7 +73,7 @@ def extract_and_detect(docs, gazetteer: list[tuple[str, str, str]] | None = None
 
     def run(batches):
         for pdf in batches:
-            texts = pdf[html_col].map(refsem.extract_text)
+            texts = refsem.extract_text_series(pdf[html_col])
             urls, langs = pdf["url"], pdf["link_lang"]
             parts = []
             for surface, label, etype in gaz:

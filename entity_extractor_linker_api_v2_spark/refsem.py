@@ -342,9 +342,20 @@ _HTML_POST = "</p><footer>FOOTER BOILERPLATE</footer></body></html>"
 _P_RE = re.compile(r"<p>(.*?)</p>", re.S)
 _TAG_RE = re.compile(r"<[^>]+>")
 
+# Conservative "might need the exact char loop" probe: any char outside
+# ASCII-printable + \t\n\r + Latin-1 letters (\xc0-\xff, all printable).
+# False positives only cost speed, never correctness.
+_SUSPECT_RE = re.compile(r"[^\t\n\r\x20-\x7E\xC0-\xFF]")
+
 
 def render_html(text: str) -> bytes:
     return (_HTML_PRE + text + _HTML_POST).encode("utf-8")
+
+
+def _extract_text_str(doc: str) -> str:
+    paras = _P_RE.findall(doc)
+    body = " ".join(_TAG_RE.sub(" ", p) for p in paras) if paras else _TAG_RE.sub(" ", doc)
+    return clean_text(body)
 
 
 def extract_text(html: bytes | None) -> str:
@@ -352,7 +363,41 @@ def extract_text(html: bytes | None) -> str:
     then apply the reference's JSON-safe cleaning (clean_text)."""
     if not html:
         return ""
-    doc = html.decode("utf-8", errors="replace")
-    paras = _P_RE.findall(doc)
-    body = " ".join(_TAG_RE.sub(" ", p) for p in paras) if paras else _TAG_RE.sub(" ", doc)
-    return clean_text(body)
+    return _extract_text_str(html.decode("utf-8", errors="replace"))
+
+
+def clean_text_series(texts):
+    """Vectorized clean_text over a pandas Series — C-level regex for rows
+    provably on the fast path (no suspect chars), the exact per-row function
+    for the rest.  Output is byte-identical to clean_text row-wise."""
+    texts = texts.fillna("")
+    suspect = texts.str.contains(_SUSPECT_RE, regex=True)
+    # collapse is only needed when a whitespace RUN can exist (tab/newline/
+    # carriage-return or a double space); everything else just strips.
+    needs_collapse = texts.str.contains(r"[\t\n\r]|  ", regex=True) & ~suspect
+    out = texts.str.strip()
+    if needs_collapse.any():
+        out[needs_collapse] = (texts[needs_collapse]
+                               .str.replace(_WS_RUN, " ", regex=True).str.strip())
+    if suspect.any():
+        out[suspect] = texts[suspect].map(clean_text)
+    return out
+
+
+def extract_text_series(html):
+    """Vectorized extract_text over a pandas Series of bytes: the synthetic
+    single-<p>, tag-free-body shape takes the C-level path; anything else
+    (multiple <p>, nested tags, no <p>) falls back to the exact per-row
+    function.  Byte-identical to extract_text row-wise."""
+    import pandas as pd
+    s = html.str.decode("utf-8", errors="replace").fillna("")
+    p = s.str.extract(_P_RE, expand=False)
+    fast = (p.notna() & (s.str.count("<p>") == 1)
+            & ~p.fillna("<").str.contains("<", regex=False))
+    out = pd.Series("", index=s.index, dtype=object)
+    if fast.any():
+        out[fast] = clean_text_series(p[fast])
+    slow = ~fast
+    if slow.any():
+        out[slow] = s[slow].map(_extract_text_str)
+    return out
