@@ -16,7 +16,7 @@ output to absorb summation-order ULPs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DIM = 64
@@ -58,6 +58,49 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
     bits = [F.when(F.round(_dot(F.col(vec_col), hyperplane(j)), 6) >= 0, F.lit("1"))
             .otherwise(F.lit("0")) for j in range(N_PLANES)]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+N_CENTROIDS = 16
+
+
+def ivf_assign(df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: centroids are the vectors whose id ≡ 0 mod
+    ceil(n/K) (deterministic, data-derived — a k-means step would slot in
+    here unchanged); every vector is assigned to its max-dot centroid.
+    At scale the inverted lists partition the index so a query probes ~n/K
+    vectors instead of n."""
+    c = (df.filter((F.col(id_col) % N_CENTROIDS) == 0)
+         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")))
+    dot = F.aggregate(F.zip_with(vec_col, "cvec",
+                                 lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_dot"), "centroid_id")
+    return (df.crossJoin(F.broadcast(c))
+            .withColumn("_dot", dot)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "centroid_id", F.round("_dot", 3).alias("centroid_dot")))
+
+
+def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF search: rank the query vector's centroids by dot, probe only the
+    single best inverted list, exact cosine inside it."""
+    import math
+    q = query_vector()
+    qn = math.sqrt(sum(x * x for x in q))
+    assign = ivf_assign(df, id_col, vec_col)
+    cents = (df.filter((F.col(id_col) % N_CENTROIDS) == 0)
+             .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")))
+    best_c = (cents.withColumn("_qd", _dot(F.col("cvec"), q))
+              .orderBy(F.desc("_qd"), "centroid_id").limit(1)
+              .select("centroid_id"))
+    score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (df.join(assign, id_col).join(F.broadcast(best_c), "centroid_id")
+            .select(F.col(id_col), score.alias("_s"))
+            .orderBy(F.desc("_s"), id_col).limit(k)
+            .select(id_col, F.round("_s", 3).alias("cosine")))
 
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.9,

@@ -625,6 +625,40 @@ SELECT url, string_agg('**' || label || '**: ' || extract, chr(10) || chr(10)
                        ORDER BY mention_idx) AS context
 FROM entities WHERE extract <> '' GROUP BY url""")
 
+_IVF_CTES = """
+ex AS (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS s
+       FROM embeddings),
+cex AS (SELECT vec_id AS centroid_id, unnest(embedding) AS ce,
+               generate_subscripts(embedding, 1) AS cs
+        FROM embeddings WHERE vec_id % 16 = 0),
+cdots AS (SELECT ex.vec_id, cex.centroid_id,
+                 sum(CAST(ex.e AS DOUBLE) * CAST(cex.ce AS DOUBLE)) AS dot
+          FROM ex JOIN cex ON ex.s = cex.cs
+          GROUP BY ex.vec_id, cex.centroid_id),
+assign AS (SELECT vec_id, centroid_id, dot FROM cdots
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, centroid_id) = 1)
+"""
+
+ORACLE["q49_ivf_assign"] = ("WITH " + _IVF_CTES.strip() + """
+SELECT vec_id, centroid_id, round(dot, 3) AS centroid_dot FROM assign""")
+
+ORACLE["q50_ivf_topk"] = (f"WITH {_QCTE},\n" + _IVF_CTES.strip() + f""",
+best_c AS (SELECT centroid_id FROM (
+  SELECT cex.centroid_id, sum(CAST(cex.ce AS DOUBLE) * q.qv) AS qd
+  FROM cex JOIN q ON cex.cs = q.i + 1 GROUP BY cex.centroid_id)
+  ORDER BY qd DESC, centroid_id LIMIT 1),
+scored AS (SELECT a.vec_id,
+                  sum(CAST(ex.e AS DOUBLE) * q.qv) AS dot,
+                  sum(CAST(ex.e AS DOUBLE) * CAST(ex.e AS DOUBLE)) AS nrm
+           FROM assign a
+           JOIN best_c b ON a.centroid_id = b.centroid_id
+           JOIN ex ON ex.vec_id = a.vec_id
+           JOIN q ON ex.s = q.i + 1
+           GROUP BY a.vec_id)
+SELECT vec_id, round(dot / (sqrt(nrm) * {_QNORM}), 3) AS cosine
+FROM scored ORDER BY dot / (sqrt(nrm) * {_QNORM}) DESC, vec_id LIMIT 10""")
+
 # Connected components via transitive closure (recursive CTE); mirrors the
 # Spark iterative min-propagation loop in operators.canonicalize.
 _CC_FINAL = """

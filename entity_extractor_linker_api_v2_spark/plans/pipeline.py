@@ -60,8 +60,11 @@ def run_pipeline_checkpointed(spark: SparkSession, sf_dir: str, root: str,
                        {**cfg, "stage": "triples"}, force=force)
     nodes = ck.write("nodes", T.nodes_table(entities),
                      {**cfg, "stage": "nodes"}, force=force)
+    from ..operators.canonicalize import canonical_entities
+    canonical = ck.write("canonical", canonical_entities(entities),
+                         {**cfg, "stage": "canonical"}, force=force)
     return {"mentions": ments, "entities": entities, "triples": triples,
-            "nodes": nodes, "checkpoint": ck}
+            "nodes": nodes, "canonical": canonical, "checkpoint": ck}
 
 
 def run_pipeline(spark: SparkSession, sf_dir: str, max_entities: int = 10,

@@ -249,6 +249,16 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_buckets(tables.load(spark, sf_dir, "embeddings"))
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    return similarity.ivf_assign(tables.load(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    return similarity.ivf_topk(tables.load(spark, sf_dir, "embeddings"))
+
+
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
     return similarity.embedding_near_dups(tables.load(spark, sf_dir, "embeddings"),
@@ -567,6 +577,8 @@ QUERIES = {
     "q46_simhash": q_simhash,
     "q47_compendium": q_compendium,
     "q48_qa_pairs": q_qa_pairs,
+    "q49_ivf_assign": q_ivf_assign,
+    "q50_ivf_topk": q_ivf_topk,
 }
 
 # queries intentionally WITHOUT an oracle twin (non-SQL-expressible: stateful

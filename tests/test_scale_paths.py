@@ -1,0 +1,68 @@
+"""Scale-path equivalence: the plans differ (broadcast / salted / forced
+sort-merge with AQE skew handling / precomputed dimension) but the results
+must not."""
+
+import pandas as pd
+import pytest
+
+from conftest import SF_SMALL
+from entity_extractor_linker_api_v2_spark import refsem
+
+
+def _entity_set(df):
+    cols = ["url", "label", "status", "wikidata_id", "label_de"]
+    return {tuple(r) for r in df.select(cols).collect()}
+
+
+def test_forced_sortmerge_join_matches_broadcast(spark):
+    """With autoBroadcastJoinThreshold=-1 every equi-join becomes
+    shuffle-based; AQE (+skew join) must still produce identical linking
+    results on the skewed corpus (Berlin in ~50% of docs)."""
+    from entity_extractor_linker_api_v2_spark.plans.pipeline import run_pipeline
+    want = _entity_set(run_pipeline(spark, SF_SMALL)["entities"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = _entity_set(run_pipeline(spark, SF_SMALL)["entities"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF probes one inverted list: its hits must be a subset of brute-force
+    scores and the top-1 of the probed cluster must rank reasonably."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    from entity_extractor_linker_api_v2_spark.sources import tables
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    bf = {r.vec_id: r.cosine for r in similarity.brute_force_topk(emb, k=500).collect()}
+    ivf = similarity.ivf_topk(emb, k=10).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        if r.vec_id in bf:
+            assert abs(float(r.cosine) - float(bf[r.vec_id])) < 2e-3
+
+
+@pytest.mark.parametrize("payload", [
+    None, b"", b"<html><p>a\x00b</p><p>c</p></html>", b"no tags at all",
+    b"<p>nested <b>tag</b></p>", b"\xff\xfeweird <p>ok</p>",
+])
+def test_extract_series_equals_scalar_on_dirty_input(payload):
+    s = pd.Series([payload])
+    assert refsem.extract_text_series(s).iloc[0] == refsem.extract_text(payload)
+
+
+def test_extract_series_suspect_chars_take_exact_path():
+    t = "ein\u00a0Text\u2028mit\u200bUnicode"  # NBSP, LINE SEP, ZWSP -> exact path
+    s = pd.Series([refsem.render_html(t)])
+    assert refsem.extract_text_series(s).iloc[0].encode() == \
+        refsem.clean_text(t).encode()
+
+
+def test_clean_series_matches_scalar_on_unicode_mix():
+    vals = ["a  b", "x\ty", "ok", "", "a\u2028b", "ß ä ö ü", "a\x07bell",
+            " lead", "tail "]
+    s = pd.Series(vals)
+    out = refsem.clean_text_series(s)
+    for v, o in zip(vals, out):
+        assert o == refsem.clean_text(v)
