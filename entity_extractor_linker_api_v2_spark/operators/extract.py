@@ -54,9 +54,12 @@ MENTION_ROWS_DEDUP_SCHEMA = T.StructType(
     MENTION_ROWS_SCHEMA.fields + [T.StructField("mention_idx", T.IntegerType())])
 
 
+AC_THRESHOLD = 64  # above this many surfaces, Aho-Corasick beats the find loop
+
+
 def extract_and_detect(docs, gazetteer: list[tuple[str, str, str]] | None = None,
                        html_col: str = "html", dedup: bool = False,
-                       max_entities: int = 10):
+                       max_entities: int = 10, use_ac: bool | None = None):
     """Fused HTML→text→mentions stage: ONE Arrow round trip, explode done in
     Python (mapInPandas), so the full text never crosses the JVM↔Python
     boundary twice and there is no second UDF stage to schedule.  Semantics
@@ -70,21 +73,54 @@ def extract_and_detect(docs, gazetteer: list[tuple[str, str, str]] | None = None
     formulation in operators.mentions remains the relational/oracle surface;
     outputs are identical and pytest-asserted)."""
     gaz = gazetteer if gazetteer is not None else fixtures.GAZETTEER
+    if use_ac is None:
+        use_ac = len(gaz) > AC_THRESHOLD
+
+    def _match_find_loop(texts, pdf, urls, langs):
+        parts = []
+        for surface, label, etype in gaz:
+            pos = texts.str.find(surface)
+            hit = pos >= 0
+            if hit.any():
+                idx = pdf.index[hit]
+                parts.append(pd.DataFrame({
+                    "_row": idx, "url": urls[hit], "link_lang": langs[hit],
+                    "surface": surface, "label": label, "type": etype,
+                    "pos": (pos[hit] + 1).astype("int32")}))
+        return parts
+
+    if use_ac:
+        from ..functions.ahocorasick import AhoCorasick
+        _ac = AhoCorasick([s for s, _, _ in gaz])  # built once, ships in closure
+
+    def _match_ac(texts, pdf, urls, langs):
+        # one automaton pass per document: O(|text| + matches) independent of
+        # |gaz| — the required shape for 10^5+-surface dictionaries.
+        ac = _ac
+        cols: dict[str, list] = {k: [] for k in
+                                 ("_row", "url", "link_lang", "surface",
+                                  "label", "type", "pos")}
+        for row, url, lang, text in zip(pdf.index, urls, langs, texts):
+            for pid, pos in ac.first_occurrences(text).items():
+                surface, label, etype = gaz[pid]
+                cols["_row"].append(row)
+                cols["url"].append(url)
+                cols["link_lang"].append(lang)
+                cols["surface"].append(surface)
+                cols["label"].append(label)
+                cols["type"].append(etype)
+                cols["pos"].append(pos)
+        if not cols["_row"]:
+            return []
+        out = pd.DataFrame(cols)
+        out["pos"] = out["pos"].astype("int32")
+        return [out]
 
     def run(batches):
         for pdf in batches:
             texts = refsem.extract_text_series(pdf[html_col])
             urls, langs = pdf["url"], pdf["link_lang"]
-            parts = []
-            for surface, label, etype in gaz:
-                pos = texts.str.find(surface)
-                hit = pos >= 0
-                if hit.any():
-                    idx = pdf.index[hit]
-                    parts.append(pd.DataFrame({
-                        "_row": idx, "url": urls[hit], "link_lang": langs[hit],
-                        "surface": surface, "label": label, "type": etype,
-                        "pos": (pos[hit] + 1).astype("int32")}))
+            parts = (_match_ac if use_ac else _match_find_loop)(texts, pdf, urls, langs)
             if not parts:
                 yield pd.DataFrame({c: pd.Series(dtype="int32" if c in ("pos", "mention_idx")
                                                  else object)
