@@ -230,6 +230,63 @@ def aliases_cte() -> str:
     return f"aliases(alias, title, lang, alias_prio) AS (VALUES {rows})"
 
 
+def scaled_kb_df(spark, n_pages: int = 200_000):
+    """Programmatic large KB: the fixture pages plus n synthetic complete
+    pages (titles `Synth Page {i}` — guaranteed disjoint from every gazetteer
+    label and its variations), for demonstrating that the linking plan holds
+    when the KB is 10^5–10^7 rows (still broadcastable; beyond that the same
+    joins run as shuffle joins, tested via the forced-SMJ path)."""
+    from pyspark.sql import functions as F
+    fix = kb_pages_df(spark)
+    synth = (spark.range(n_pages)
+             .select(F.concat(F.lit("Synth Page "), F.col("id")).alias("title"),
+                     F.when(F.col("id") % 2 == 0, F.lit("de")).otherwise(F.lit("en")).alias("lang"),
+                     F.concat(F.lit("Synth Page "), F.col("id")).alias("title_other"),
+                     F.concat(F.lit("Beschreibung der Seite "), F.col("id")).alias("abstract"),
+                     F.concat(F.lit("Q"), (F.col("id") + 100000)).alias("wikidata_id"),
+                     F.array(F.concat(F.lit("SynthKat"), F.col("id") % 100)).alias("categories"),
+                     F.array().cast("array<string>").alias("internal_links"),
+                     F.lit(None).cast("string").alias("infobox_type"),
+                     F.lit(None).cast("double").alias("geo_lat"),
+                     F.lit(None).cast("double").alias("geo_lon"),
+                     F.lit(None).cast("string").alias("thumbnail_url")))
+    return fix.unionByName(synth)
+
+
+def scaled_aliases_df(spark, kb=None):
+    """Alias dictionary derived from a (possibly large) KB with the same
+    variation rules, computed as native columns instead of driver-side
+    python — the KB-build-time job that replaces strategies.py:227-258."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    if kb is None:
+        kb = scaled_kb_df(spark)
+    t = F.col("title")
+    cands = F.array(
+        F.struct(t.alias("alias"), F.lit(0).alias("alias_prio")),
+        F.struct(F.initcap(t).alias("alias"), F.lit(1).alias("alias_prio")),
+        F.struct(F.lower(t).alias("alias"), F.lit(2).alias("alias_prio")),
+        F.struct(F.upper(t).alias("alias"), F.lit(3).alias("alias_prio")),
+        F.struct(F.when(t.startswith("Der "), F.expr("substring(title, 5)")).alias("alias"),
+                 F.lit(4).alias("alias_prio")),
+        F.struct(F.when(t.startswith("Die "), F.expr("substring(title, 5)")).alias("alias"),
+                 F.lit(5).alias("alias_prio")),
+        F.struct(F.when(t.startswith("Das "), F.expr("substring(title, 5)")).alias("alias"),
+                 F.lit(6).alias("alias_prio")),
+        F.struct(F.expr("replace(title, 'ß', 'ss')").alias("alias"), F.lit(7).alias("alias_prio")),
+        F.struct(F.expr("replace(title, 'ä', 'ae')").alias("alias"), F.lit(8).alias("alias_prio")),
+        F.struct(F.expr("replace(title, 'ö', 'oe')").alias("alias"), F.lit(9).alias("alias_prio")),
+        F.struct(F.expr("replace(title, 'ü', 'ue')").alias("alias"), F.lit(10).alias("alias_prio")),
+    )
+    exploded = (kb.select("title", "lang", F.explode(cands).alias("c"))
+                .select("title", "lang", F.col("c.alias").alias("alias"),
+                        F.col("c.alias_prio").alias("alias_prio"))
+                .filter(F.col("alias").isNotNull()))
+    w = Window.partitionBy("alias", "lang").orderBy("alias_prio", "title")
+    return (exploded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def sentences_case_sql(col: str = "doc_id") -> str:
     """CASE expression mapping doc_id % 12 to the injected sentence."""
     whens = " ".join(f"WHEN {i} THEN {_q(s)}" for i, s in enumerate(SENTENCES))

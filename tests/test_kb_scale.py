@@ -1,0 +1,35 @@
+"""Linking against a 10^4–10^5-row KB: same plan, same results — the
+dimension's size must not change semantics (and the alias dictionary build
+is itself a distributed job, not driver-side python)."""
+
+from conftest import SF_SMALL
+
+
+def test_linking_against_scaled_kb_matches_fixture_kb(spark):
+    from entity_extractor_linker_api_v2_spark import fixtures
+    from entity_extractor_linker_api_v2_spark.operators import linking
+    from entity_extractor_linker_api_v2_spark.plans.pipeline import (
+        extract_stage, mention_stage)
+    from entity_extractor_linker_api_v2_spark.sources import tables
+
+    docs = extract_stage(tables.docs_table(spark, SF_SMALL))
+    ments = mention_stage(docs).persist()
+
+    small = linking.link_mentions(spark, ments)
+    kb_big = fixtures.scaled_kb_df(spark, n_pages=20_000)
+    al_big = fixtures.scaled_aliases_df(spark, kb_big)
+    big = linking.link_mentions(spark, ments, aliases=al_big, kb=kb_big)
+
+    cols = ["url", "label", "label_de", "wikidata_id", "status"]
+    a = {tuple(r) for r in small.select(cols).collect()}
+    b = {tuple(r) for r in big.select(cols).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_scaled_alias_dict_covers_fixture_aliases(spark):
+    from entity_extractor_linker_api_v2_spark import fixtures
+    got = {(r.alias, r.title, r.lang)
+           for r in fixtures.scaled_aliases_df(
+               spark, fixtures.kb_pages_df(spark)).collect()}
+    want = {(a, t, lang) for a, t, lang, _ in fixtures.alias_rows()}
+    assert want == got

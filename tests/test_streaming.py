@@ -30,3 +30,30 @@ def test_available_now_ingest_matches_batch(spark, tmp_path):
     n_after = spark.read.parquet(out_dir).count()
     assert n_after > n_before
     assert n_after - n_before < n_before  # only the delta was processed
+
+
+def test_windowed_watermarked_counts(spark, tmp_path):
+    """Stateful streaming: watermarked 1h-window counts over a file stream
+    must equal the batch groupBy on the same data after availableNow."""
+    import pyspark.sql.functions as F
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import (
+        stream_docs, windowed_entity_counts)
+
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_SMALL}/documents.parquet").write.parquet(docs_dir)
+
+    stream = stream_docs(spark, docs_dir).withColumn("type", F.col("lang"))
+    agg = windowed_entity_counts(stream, watermark="2 hours", window="1 hour")
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r.win.start, r.type): r.cnt
+           for r in spark.sql("select * from win_counts").collect()}
+    from entity_extractor_linker_api_v2_spark.sources.tables import docs_table
+    batch = (docs_table(spark, SF_SMALL, with_html=False)
+             .groupBy(F.window("warc_ts", "1 hour").alias("win"),
+                      F.col("lang").alias("type"))
+             .agg(F.count("*").alias("cnt")))
+    want = {(r.win.start, r.type): r.cnt for r in batch.collect()}
+    assert got == want and len(got) > 0
