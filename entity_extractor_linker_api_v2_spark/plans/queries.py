@@ -38,10 +38,19 @@ def _capped(spark, sf_dir):
     return M.dedup_and_cap(_raw_mentions(spark, sf_dir))
 
 
+def _capped_fused(spark, sf_dir):
+    """Fused mention stage (identical output to _capped; equivalence is
+    pytest-asserted) — used as the prefix of the entity-chain queries so the
+    driver-measured operators run on the throughput path."""
+    from ..operators.extract import extract_and_detect
+    docs = tables.docs_table(spark, sf_dir)
+    return extract_and_detect(docs, dedup=True)
+
+
 def _entities(spark, sf_dir):
     # persist the mention table: it feeds both the probe-key distinct and the
     # join-back (avoids re-running the pandas-UDF extraction chain twice)
-    return linking.link_mentions(spark, _capped(spark, sf_dir).persist())
+    return linking.link_mentions(spark, _capped_fused(spark, sf_dir).persist())
 
 
 def _arr_str(col):
