@@ -103,6 +103,43 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
             .select(id_col, F.round("_s", 3).alias("cosine")))
 
 
+def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic k-means (fixed iterations, seeds = first k vectors by
+    id): the iterative centroid-train step the IVF index plugs into.
+
+    Each iteration is one broadcast crossJoin (n×k distance rows — centroids
+    always broadcast) + an argmin window + one shuffle to recompute per-
+    dimension means.  No randomness and a fixed iteration count make it
+    exactly reproducible — the DuckDB oracle unrolls the same two iterations.
+    """
+    def dist2(vec, cvec):
+        return F.aggregate(F.zip_with(vec, cvec,
+                                      lambda a, b: (a.cast("double") - b) *
+                                                   (a.cast("double") - b)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    cents = (df.filter(F.col(id_col) < k)
+             .select(F.col(id_col).alias("cluster"),
+                     F.transform(vec_col, lambda x: x.cast("double")).alias("cvec")))
+    assigned = None
+    for _ in range(iters):
+        w = Window.partitionBy(id_col).orderBy("_d2", "cluster")
+        assigned = (df.crossJoin(F.broadcast(cents))
+                    .withColumn("_d2", dist2(F.col(vec_col), F.col("cvec")))
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select(id_col, vec_col, "cluster"))
+        # per-dimension means -> rebuilt centroid arrays (deterministic order)
+        cents = (assigned
+                 .select("cluster", F.posexplode(vec_col).alias("dim", "val"))
+                 .groupBy("cluster", "dim").agg(F.avg(F.col("val").cast("double")).alias("m"))
+                 .groupBy("cluster")
+                 .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                                  lambda s: s["m"]).alias("cvec")))
+    return assigned.select(id_col, "cluster")
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Pairs in the same hyperplane bucket with cosine ≥ threshold."""

@@ -659,6 +659,26 @@ scored AS (SELECT a.vec_id,
 SELECT vec_id, round(dot / (sqrt(nrm) * {_QNORM}), 3) AS cosine
 FROM scored ORDER BY dot / (sqrt(nrm) * {_QNORM}) DESC, vec_id LIMIT 10""")
 
+# k-means with 2 fixed iterations, unrolled (mirrors similarity.kmeans_assign)
+ORACLE["q51_kmeans"] = """
+WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                   generate_subscripts(embedding, 1) AS s
+            FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, e AS val, s FROM ex WHERE vec_id < 8),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT ex.vec_id, c0.cluster,
+                sum((ex.e - c0.val) * (ex.e - c0.val)) AS d2
+         FROM ex JOIN c0 ON ex.s = c0.s GROUP BY ex.vec_id, c0.cluster) t
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+c1 AS (SELECT a1.cluster, ex.s, avg(ex.e) AS val
+       FROM a1 JOIN ex ON ex.vec_id = a1.vec_id GROUP BY a1.cluster, ex.s),
+a2 AS (SELECT vec_id, cluster FROM (
+         SELECT ex.vec_id, c1.cluster,
+                sum((ex.e - c1.val) * (ex.e - c1.val)) AS d2
+         FROM ex JOIN c1 ON ex.s = c1.s GROUP BY ex.vec_id, c1.cluster) t
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1)
+SELECT vec_id, cluster FROM a2"""
+
 # Connected components via transitive closure (recursive CTE); mirrors the
 # Spark iterative min-propagation loop in operators.canonicalize.
 _CC_FINAL = """

@@ -268,6 +268,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(tables.load(spark, sf_dir, "embeddings"))
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (k=8, 2 fixed iterations, deterministic seeds) —
+    the centroid-training step for the IVF index; oracle = the same two
+    iterations unrolled in SQL."""
+    from ..operators import similarity
+    return similarity.kmeans_assign(tables.load(spark, sf_dir, "embeddings"))
+
+
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
     return similarity.embedding_near_dups(tables.load(spark, sf_dir, "embeddings"),
@@ -588,6 +596,7 @@ QUERIES = {
     "q48_qa_pairs": q_qa_pairs,
     "q49_ivf_assign": q_ivf_assign,
     "q50_ivf_topk": q_ivf_topk,
+    "q51_kmeans": q_kmeans,
 }
 
 # queries intentionally WITHOUT an oracle twin (non-SQL-expressible: stateful
