@@ -80,9 +80,10 @@ def _throughput(master: str, cpus: int, replicate: int | None = None,
     threads onto the other 30 idle cores, which would overstate the small
     "cluster" and understate scaling efficiency."""
     import subprocess
+    import shutil
     cmd = ["python", "-c", _THROUGHPUT_SNIPPET, master, str(cpus), SF_DIR,
            str(replicate or REPLICATE), str(HEAVY), str(repeats)]
-    if pin:
+    if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     proc = subprocess.run(
         cmd, capture_output=True, text=True, timeout=1800,
