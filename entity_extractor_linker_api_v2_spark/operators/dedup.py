@@ -106,8 +106,11 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   threshold: float = 0.5) -> DataFrame:
     """Exact 3-word-shingle Jaccard on LSH candidates only."""
     cands = lsh_candidate_pairs(df, id_col, text_col)
+    # the distinct shingle relation feeds three consumers (a-side, b-side,
+    # sizes) — persist instead of recomputing the shingling each time
     sh = (df.withColumn("_sh", _shingles(text_col))
-          .select(F.col(id_col), F.explode("_sh").alias("shingle")).distinct())
+          .select(F.col(id_col), F.explode("_sh").alias("shingle")).distinct()
+          .persist())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (cands
              .join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("shingle", "s_a"), "a")
