@@ -107,11 +107,11 @@ SENTENCES: list[str] = [
     "Albert Einstein wurde in Ulm geboren.",
     "Einstein entwickelte die Relativitätstheorie.",
     "Der Bundestag tagt in Berlin.",
-    "Muenchen liegt in Bayern.",
+    "Muenchen liegt in Bayern bei Ingolstadt.",
     "Die Farbe Weiß symbolisiert Reinheit.",
     "Deutschland ist ein Land in Europa.",
     "Entity001 ist ein Beispiel.",
-    "Phantasia ist unbekannt.",
+    "Phantasia liegt bei Regensburg.",
     "Albert Einstein developed the theory of relativity.",
     "Berlin is the capital of Germany.",
     "MÜNCHEN ist eine Stadt in Deutschland.",

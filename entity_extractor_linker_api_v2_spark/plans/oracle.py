@@ -186,15 +186,20 @@ ORACLE["q03_mentions"] = _with(_MENTION_CHAIN, final="""
 SELECT url, surface, label, type, pos FROM raw_mentions""")
 
 ORACLE["q04_mentions_regex"] = _with(final=r"""
-SELECT url, label, type FROM (
-  SELECT url, unnest(regexp_extract_all(body_text,
-    '[A-ZÄÖÜ][a-zäöüß]+ [A-ZÄÖÜ][a-zäöüß]+')) AS label, 'PERSON' AS type
-  FROM docs
-  UNION ALL
-  SELECT url, unnest(regexp_extract_all(body_text,
-    'Deutschland|Österreich|Schweiz|Berlin|München|Hamburg')) AS label,
-    'LOCATION' AS type
-  FROM docs) u""")
+SELECT url, CAST(generate_subscripts(ents, 1) AS BIGINT) AS ent_idx,
+       unnest(ents, recursive := true)
+FROM (
+  SELECT url, list_slice(
+      list_transform(list_slice(regexp_extract_all(body_text,
+        '\b[A-ZÄÖÜ][a-zäöüß]+ [A-ZÄÖÜ][a-zäöüß]+\b'), 1, 10),
+        x -> {'label': x, 'type': 'PERSON'}) ||
+      list_transform(list_slice(regexp_extract_all(body_text,
+        '\b[A-ZÄÖÜ][a-zäöüß]+(?:stadt|berg|burg|dorf|heim)\b'), 1, 10),
+        x -> {'label': x, 'type': 'LOCATION'}) ||
+      list_transform(list_slice(regexp_extract_all(body_text,
+        '\b(?:Deutschland|Österreich|Schweiz|Berlin|München|Hamburg)\b'), 1, 10),
+        x -> {'label': x, 'type': 'LOCATION'}), 1, 10) AS ents
+  FROM docs) t""")
 
 ORACLE["q05_mention_dedup_cap"] = _with(_MENTION_CHAIN, final="""
 SELECT url, label, type, pos, mention_idx FROM capped""")
@@ -221,8 +226,11 @@ ORACLE["q10_best_pick"] = _full_chain("""
 SELECT label, link_lang, probe_lang AS hit_lang, title, wikidata_id FROM best""")
 
 ORACLE["q11_entities"] = _full_chain("""
-SELECT url, label, type, mention_idx, label_de, label_en, url_de, url_en,
-       extract, wikidata_id, thumbnail_url, infobox_type, geo_lat, geo_lon,
+SELECT url, label, type, CAST(mention_idx AS BIGINT) AS mention_idx,
+       label_de, label_en, url_de, url_en,
+       extract, wikidata_id, thumbnail_url, infobox_type,
+       CAST(geo_lat AS VARCHAR) AS geo_lat_str,
+       CAST(geo_lon AS VARCHAR) AS geo_lon_str,
        dbpedia_uri, wiki_status, status, entity_id,
        array_to_string(categories, '|') AS categories_str,
        array_to_string(internal_links, '|') AS links_str

@@ -84,20 +84,28 @@ def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mentions_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-13: the reference's regex NER patterns, fully JVM-side via
-    regexp_extract_all (no UDF) — pattern 1: capitalized pairs → PERSON."""
+    """O-13: ALL THREE of the reference's fallback NER patterns
+    (linker.py:225-239) with its caps — per-pattern ``matches[:max]`` then a
+    global ``max`` in pattern order — fully JVM-side: one regexp_extract_all
+    per pattern, slice, concat in pattern order, slice again, one explode.
+    \\b is ASCII-word-boundary in both Java regex and DuckDB's RE2 (the two
+    compared engines agree); refsem.regex_ner (Python, unicode \\b) is the
+    unit-test truth table on the fixture corpus, where all three agree."""
     d = tables.docs_table(spark, sf_dir, with_html=False)
-    pairs = d.select(
-        "url",
-        F.explode(F.expr(
-            r"regexp_extract_all(body_text, '[A-ZÄÖÜ][a-zäöüß]+ [A-ZÄÖÜ][a-zäöüß]+', 0)"
-        )).alias("label")).withColumn("type", F.lit("PERSON"))
-    known = d.select(
-        "url",
-        F.explode(F.expr(
-            r"regexp_extract_all(body_text, 'Deutschland|Österreich|Schweiz|Berlin|München|Hamburg', 0)"
-        )).alias("label")).withColumn("type", F.lit("LOCATION"))
-    return pairs.unionByName(known)
+    cap = 10
+    pats = [(r"\b[A-ZÄÖÜ][a-zäöüß]+ [A-ZÄÖÜ][a-zäöüß]+\b", "PERSON"),
+            (r"\b[A-ZÄÖÜ][a-zäöüß]+(?:stadt|berg|burg|dorf|heim)\b", "LOCATION"),
+            (r"\b(?:Deutschland|Österreich|Schweiz|Berlin|München|Hamburg)\b", "LOCATION")]
+    def _tagger(t):
+        return lambda m: F.struct(m.alias("label"), F.lit(t).alias("type"))
+    tagged = F.concat(*[
+        F.transform(
+            F.slice(F.regexp_extract_all("body_text", F.lit(p), F.lit(0)), 1, cap),
+            _tagger(t))
+        for p, t in pats])
+    return (d.select("url", F.posexplode(F.slice(tagged, 1, cap)).alias("ent_idx0", "e"))
+            .select("url", (F.col("ent_idx0") + 1).alias("ent_idx"),
+                    F.col("e.label").alias("label"), F.col("e.type").alias("type")))
 
 
 def q_mention_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,15 +151,22 @@ def q_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linking.pick_best(c).select("label", "link_lang", "hit_lang", "title", "wikidata_id")
 
 
-ENTITY_COLS = ["url", "label", "type", "mention_idx", "label_de", "label_en",
+ENTITY_COLS = ["url", "label", "type", "label_de", "label_en",
                "url_de", "url_en", "extract", "wikidata_id", "thumbnail_url",
-               "infobox_type", "geo_lat", "geo_lon", "dbpedia_uri",
+               "infobox_type", "dbpedia_uri",
                "wiki_status", "status", "entity_id"]
 
 
 def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compared projection of the entity table.  The raw record keeps
+    geo_lat/geo_lon as nullable doubles and mention_idx as the pandas-stage
+    int32; the DRIVER-compared projection avoids both representation traps
+    (raw doubles / narrow ints) by casting — same rule as q12's located_at."""
     e = _entities(spark, sf_dir)
     return e.select(*ENTITY_COLS,
+                    F.col("mention_idx").cast("long").alias("mention_idx"),
+                    F.col("geo_lat").cast("string").alias("geo_lat_str"),
+                    F.col("geo_lon").cast("string").alias("geo_lon_str"),
                     _arr_str(F.col("categories")).alias("categories_str"),
                     _arr_str(F.col("internal_links")).alias("links_str"))
 
