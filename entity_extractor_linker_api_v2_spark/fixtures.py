@@ -25,11 +25,19 @@ from . import refsem
 # ---------------------------------------------------------------------------
 
 _K = ("title", "lang", "title_other", "abstract", "wikidata_id", "categories",
-      "internal_links", "infobox_type", "geo_lat", "geo_lon", "thumbnail_url")
+      "internal_links", "infobox_type", "geo_lat", "geo_lon", "thumbnail_url",
+      "instance_of", "subclass_of", "part_of", "has_part")
 
 
 def _kb(*vals):
-    return dict(zip(_K, vals))
+    d = dict(zip(_K, vals))
+    # wikidata claim arrays (the reference DECLARES these slots — Entity
+    # has_part/part_of fields entity_helpers.py:23-25 and the statistics
+    # top10 keys linker.py:109-118 — but never populates them; the rebuild
+    # makes them first-class KB columns, filled per-title below).
+    for c in ("instance_of", "subclass_of", "part_of", "has_part"):
+        d.setdefault(c, [])
+    return d
 
 
 KB_PAGES: list[dict] = [
@@ -72,6 +80,33 @@ for _i in range(2, 51):
     KB_PAGES.append(_kb(f"Entity{_i:03d}", "de", None,
                         f"Beschreibung von Entity{_i:03d}.", f"Q{9000 + _i}",
                         [f"Kategorie{_i % 5}"], [], None, None, None, None))
+
+# per-title wikidata claims (applied to both language rows of a title pair);
+# deterministic stand-ins for the P31/P279/P361/P527 claims the reference's
+# Entity dataclass reserves fields for (entity_helpers.py:23-25).
+KB_CLAIMS: dict[str, dict[str, list[str]]] = {
+    "Zugspitze": {"instance_of": ["mountain"], "part_of": ["Wettersteingebirge"]},
+    "Albert Einstein": {"instance_of": ["human"]},
+    "Berlin": {"instance_of": ["city", "capital"], "part_of": ["Deutschland"],
+               "has_part": ["Berlin-Mitte"]},
+    "Deutschland": {"instance_of": ["country"], "part_of": ["Europa"],
+                    "has_part": ["Bayern", "Berlin"]},
+    "Germany": {"instance_of": ["country"], "part_of": ["Europa"],
+                "has_part": ["Bayern", "Berlin"]},
+    "München": {"instance_of": ["city"], "part_of": ["Bayern"]},
+    "Munich": {"instance_of": ["city"], "part_of": ["Bayern"]},
+    "Bundestag": {"instance_of": ["parliament"], "subclass_of": ["legislature"],
+                  "part_of": ["Bundesrepublik Deutschland"]},
+    "Weiß": {"instance_of": ["color"], "subclass_of": ["Farbe"]},
+    "White": {"instance_of": ["color"], "subclass_of": ["Farbe"]},
+}
+
+for _p in KB_PAGES:
+    _p.update(KB_CLAIMS.get(_p["title"], {}))
+    if _p["title"].startswith("Entity") and _p["abstract"]:
+        _i = int(_p["title"][6:])
+        _p["instance_of"] = ["concept"]
+        _p["part_of"] = [f"Gruppe{_i % 3}"]
 
 # (from_title, to_title, lang)  — O-14, ref client.py:237-243 / service.py:190-199
 KB_REDIRECTS: list[tuple[str, str, str]] = [
@@ -166,6 +201,10 @@ def kb_pages_df(spark):
         T.StructField("geo_lat", T.DoubleType()),
         T.StructField("geo_lon", T.DoubleType()),
         T.StructField("thumbnail_url", T.StringType()),
+        T.StructField("instance_of", T.ArrayType(T.StringType())),
+        T.StructField("subclass_of", T.ArrayType(T.StringType())),
+        T.StructField("part_of", T.ArrayType(T.StringType())),
+        T.StructField("has_part", T.ArrayType(T.StringType())),
     ])
     return spark.createDataFrame([tuple(p[k] for k in _K) for p in KB_PAGES], schema)
 
@@ -205,14 +244,16 @@ def _num(x) -> str:
 
 def kb_pages_cte() -> str:
     rows = ", ".join(
-        "({}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {})".format(
+        "({}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {})".format(
             _q(p["title"]), _q(p["lang"]), _q(p["title_other"]), _q(p["abstract"]),
             _q(p["wikidata_id"]), _arr(p["categories"]), _arr(p["internal_links"]),
             _q(p["infobox_type"]), _num(p["geo_lat"]), _num(p["geo_lon"]),
-            _q(p["thumbnail_url"]))
+            _q(p["thumbnail_url"]), _arr(p["instance_of"]), _arr(p["subclass_of"]),
+            _arr(p["part_of"]), _arr(p["has_part"]))
         for p in KB_PAGES)
     return ("kb(title, lang, title_other, abstract, wikidata_id, categories, "
-            f"internal_links, infobox_type, geo_lat, geo_lon, thumbnail_url) AS (VALUES {rows})")
+            "internal_links, infobox_type, geo_lat, geo_lon, thumbnail_url, "
+            f"instance_of, subclass_of, part_of, has_part) AS (VALUES {rows})")
 
 
 def redirects_cte() -> str:
@@ -249,7 +290,11 @@ def scaled_kb_df(spark, n_pages: int = 200_000):
                      F.lit(None).cast("string").alias("infobox_type"),
                      F.lit(None).cast("double").alias("geo_lat"),
                      F.lit(None).cast("double").alias("geo_lon"),
-                     F.lit(None).cast("string").alias("thumbnail_url")))
+                     F.lit(None).cast("string").alias("thumbnail_url"),
+                     F.array(F.lit("concept")).alias("instance_of"),
+                     F.array().cast("array<string>").alias("subclass_of"),
+                     F.array(F.concat(F.lit("SynthGruppe"), F.col("id") % 3)).alias("part_of"),
+                     F.array().cast("array<string>").alias("has_part")))
     return fix.unionByName(synth)
 
 
@@ -285,6 +330,98 @@ def scaled_aliases_df(spark, kb=None):
     w = Window.partitionBy("alias", "lang").orderBy("alias_prio", "title")
     return (exploded.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# Raw Wikipedia-API payload rows (input of operators.kb_build).  One row per
+# fetched page, flattened from the API JSON the reference's client consumes
+# (client.py:92-109 props: extracts+pageprops+categories+coordinates+
+# langlinks+links+pageimages).  Derived from KB_PAGES so the build output is
+# pytest-assertable against the hand-authored KB dimension; plus noise rows
+# exercising the special-page filter (O-12, client.py:266-281).
+# ---------------------------------------------------------------------------
+
+_RAW_K = ("page_id", "lang", "title", "extract", "wikibase_item",
+          "categories_raw", "links_raw", "coord_lat", "coord_lon",
+          "thumbnail_source", "infobox", "langlink_lang", "langlink_title",
+          "instance_of", "subclass_of", "part_of", "has_part")
+
+
+def raw_page_rows() -> list[dict]:
+    rows: list[dict] = []
+    for i, p in enumerate(KB_PAGES):
+        prefix = "Kategorie:" if p["lang"] == "de" else "Category:"
+        rows.append({
+            "page_id": 1000 + i,
+            "lang": p["lang"],
+            # every third title padded: merge_page_data strips (:26)
+            "title": ("  " + p["title"] + " ") if i % 3 == 0 else p["title"],
+            "extract": p["abstract"],
+            "wikibase_item": p["wikidata_id"],
+            "categories_raw": [prefix + c for c in (p["categories"] or [])],
+            "links_raw": list(p["internal_links"] or []),
+            "coord_lat": p["geo_lat"], "coord_lon": p["geo_lon"],
+            "thumbnail_source": p["thumbnail_url"],
+            "infobox": p["infobox_type"],
+            "langlink_lang": ("en" if p["lang"] == "de" else "de")
+                             if p["title_other"] else None,
+            "langlink_title": p["title_other"],
+            "instance_of": p["instance_of"], "subclass_of": p["subclass_of"],
+            "part_of": p["part_of"], "has_part": p["has_part"],
+        })
+    empty = {"extract": None, "wikibase_item": None, "categories_raw": [],
+             "links_raw": [], "coord_lat": None, "coord_lon": None,
+             "thumbnail_source": None, "infobox": None, "langlink_lang": None,
+             "langlink_title": None, "instance_of": [], "subclass_of": [],
+             "part_of": [], "has_part": []}
+    # O-12: negative page id = special page -> dropped
+    rows.append({"page_id": -1, "lang": "de", "title": "Spezial:Suche", **empty})
+    # missing / whitespace-only titles -> dropped
+    rows.append({"page_id": 2000, "lang": "de", "title": None, **empty})
+    rows.append({"page_id": 2001, "lang": "en", "title": "   ", **empty})
+    # langlink to a page that was never fetched -> title_other stays NULL
+    rows.append({"page_id": 2002, "lang": "de", "title": "Geisterseite",
+                 **{**empty, "extract": "Eine Geisterseite.",
+                    "langlink_lang": "en", "langlink_title": "Nonexistent Page"}})
+    return rows
+
+
+def raw_pages_df(spark):
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("page_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("extract", T.StringType()),
+        T.StructField("wikibase_item", T.StringType()),
+        T.StructField("categories_raw", T.ArrayType(T.StringType())),
+        T.StructField("links_raw", T.ArrayType(T.StringType())),
+        T.StructField("coord_lat", T.DoubleType()),
+        T.StructField("coord_lon", T.DoubleType()),
+        T.StructField("thumbnail_source", T.StringType()),
+        T.StructField("infobox", T.StringType()),
+        T.StructField("langlink_lang", T.StringType()),
+        T.StructField("langlink_title", T.StringType()),
+        T.StructField("instance_of", T.ArrayType(T.StringType())),
+        T.StructField("subclass_of", T.ArrayType(T.StringType())),
+        T.StructField("part_of", T.ArrayType(T.StringType())),
+        T.StructField("has_part", T.ArrayType(T.StringType())),
+    ])
+    return spark.createDataFrame(
+        [tuple(r[k] for k in _RAW_K) for r in raw_page_rows()], schema)
+
+
+def raw_pages_cte() -> str:
+    def _row(r):
+        return "({}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {}, {})".format(
+            r["page_id"], _q(r["lang"]), _q(r["title"]), _q(r["extract"]),
+            _q(r["wikibase_item"]), _arr(r["categories_raw"]), _arr(r["links_raw"]),
+            _num(r["coord_lat"]), _num(r["coord_lon"]), _q(r["thumbnail_source"]),
+            _q(r["infobox"]), _q(r["langlink_lang"]), _q(r["langlink_title"]),
+            _arr(r["instance_of"]), _arr(r["subclass_of"]), _arr(r["part_of"]),
+            _arr(r["has_part"]))
+    rows = ", ".join(_row(r) for r in raw_page_rows())
+    return f"raw_pages({', '.join(_RAW_K)}) AS (VALUES {rows})"
 
 
 def sentences_case_sql(col: str = "doc_id") -> str:

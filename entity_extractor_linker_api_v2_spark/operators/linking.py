@@ -197,6 +197,9 @@ def to_entities(joined: DataFrame) -> DataFrame:
          .otherwise(F.array().cast("array<string>")).alias("categories"),
         F.when(found, F.coalesce(F.col("internal_links"), F.array().cast("array<string>")))
          .otherwise(F.array().cast("array<string>")).alias("internal_links"),
+        *[F.when(found, F.coalesce(F.col(c), F.array().cast("array<string>")))
+           .otherwise(F.array().cast("array<string>")).alias(c)
+          for c in ("instance_of", "subclass_of", "part_of", "has_part")],
         dbpedia.alias("dbpedia_uri"),
         wiki_status.alias("wiki_status"),
         status.alias("status"),

@@ -28,6 +28,48 @@ def top10(entities: DataFrame, array_col: str) -> DataFrame:
             .orderBy(F.desc("cnt"), "item").limit(10))
 
 
+TOP10_KEYS = ("wikipedia_categories", "wikipedia_internal_links",
+              "wikidata_instance_of", "wikidata_type", "wikidata_subclass_of",
+              "wikidata_part_of", "wikidata_has_part", "predicates")
+
+
+def top10_all(entities: DataFrame) -> DataFrame:
+    """All EIGHT statistics top10 keys the reference's Statistics model
+    declares (app/api/v1/linker.py:109-118; only two are ever populated
+    there — the rebuild fills the wikidata_* keys from the KB claim columns
+    and `predicates` from the emitted edge table).
+
+    One pass: per entity build an array of (stat_key, item) pairs, explode
+    once, aggregate, rank per key.  wikidata_type = first instance_of claim
+    (the P31 head).  Scale: the single explode+groupBy shuffles (key, item)
+    pairs — counts, never rows."""
+    from . import triples as TR
+
+    def tag(key, arr):
+        return F.transform(arr, lambda x: F.struct(
+            F.lit(key).alias("stat_key"), x.alias("item")))
+
+    pairs = F.concat(
+        tag("wikipedia_categories", F.col("categories")),
+        tag("wikipedia_internal_links", F.col("internal_links")),
+        tag("wikidata_instance_of", F.col("instance_of")),
+        tag("wikidata_type", F.slice(F.col("instance_of"), 1, 1)),
+        tag("wikidata_subclass_of", F.col("subclass_of")),
+        tag("wikidata_part_of", F.col("part_of")),
+        tag("wikidata_has_part", F.col("has_part")),
+    )
+    ent_pairs = entities.select(F.explode(pairs).alias("p")).select("p.*")
+    pred_pairs = TR.emit_triples(entities).select(
+        F.lit("predicates").alias("stat_key"), F.col("pred").alias("item"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("stat_key").orderBy(F.desc("cnt"), "item")
+    return (ent_pairs.unionByName(pred_pairs)
+            .groupBy("stat_key", "item").agg(F.count("*").alias("cnt"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("stat_key", "item", "cnt", "rnk"))
+
+
 def linked_stats(entities: DataFrame) -> DataFrame:
     """total / wikipedia-linked / wikidata-linked counts and percents.
 

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-PREDICATES = ("instance_of", "same_as", "has_category", "links_to", "located_at")
+PREDICATES = ("instance_of", "same_as", "has_category", "links_to",
+              "located_at", "part_of", "has_part")
 
 
 def emit_triples(entities: DataFrame) -> DataFrame:
@@ -41,6 +42,8 @@ def emit_triples(entities: DataFrame) -> DataFrame:
                F.array(po("same_as", F.col("dbpedia_uri")))).otherwise(empty),
         F.transform("categories", lambda c: po("has_category", c)),
         F.transform("internal_links", lambda x: po("links_to", x)),
+        F.transform("part_of", lambda x: po("part_of", x)),
+        F.transform("has_part", lambda x: po("has_part", x)),
         F.when(F.col("geo_lat").isNotNull() & F.col("geo_lon").isNotNull(),
                F.array(po("located_at",
                           F.concat(F.col("geo_lat").cast("string"), F.lit(","),

@@ -87,7 +87,8 @@ resolved AS (
 cands AS (
   SELECT res.label, res.link_lang, res.prio, res.probe_lang, a.alias_prio,
          k.title, k.title_other, k.abstract, k.wikidata_id, k.categories,
-         k.internal_links, k.infobox_type, k.geo_lat, k.geo_lon, k.thumbnail_url
+         k.internal_links, k.infobox_type, k.geo_lat, k.geo_lon, k.thumbnail_url,
+         k.instance_of, k.subclass_of, k.part_of, k.has_part
   FROM resolved res
   JOIN aliases a ON res.resolved = a.alias AND res.probe_lang = a.lang
   JOIN kb k ON a.title = k.title AND res.probe_lang = k.lang
@@ -100,7 +101,8 @@ joined AS (
   SELECT c.url, c.link_lang, c.surface, c.label, c.type, c.pos, c.mention_idx,
          b.probe_lang AS hit_lang, b.title, b.title_other, b.abstract,
          b.wikidata_id, b.categories, b.internal_links, b.infobox_type,
-         b.geo_lat, b.geo_lon, b.thumbnail_url
+         b.geo_lat, b.geo_lon, b.thumbnail_url,
+         b.instance_of, b.subclass_of, b.part_of, b.has_part
   FROM capped c LEFT JOIN best b
     ON c.label = b.label AND c.link_lang = b.link_lang),
 e0 AS (
@@ -157,7 +159,11 @@ entities AS (
          THEN 'linked' ELSE 'not_linked' END AS status,
     sha256(url || label) AS entity_id,
     CASE WHEN found THEN coalesce(categories, []) ELSE [] END AS categories,
-    CASE WHEN found THEN coalesce(internal_links, []) ELSE [] END AS internal_links
+    CASE WHEN found THEN coalesce(internal_links, []) ELSE [] END AS internal_links,
+    CASE WHEN found THEN coalesce(instance_of, []) ELSE [] END AS instance_of,
+    CASE WHEN found THEN coalesce(subclass_of, []) ELSE [] END AS subclass_of,
+    CASE WHEN found THEN coalesce(part_of, []) ELSE [] END AS part_of,
+    CASE WHEN found THEN coalesce(has_part, []) ELSE [] END AS has_part
   FROM e3)
 """
 
@@ -248,6 +254,10 @@ SELECT url, subj, pred, obj FROM (
   UNION ALL
   SELECT url, label_de, 'links_to', unnest(internal_links) FROM entities
   UNION ALL
+  SELECT url, label_de, 'part_of', unnest(part_of) FROM entities
+  UNION ALL
+  SELECT url, label_de, 'has_part', unnest(has_part) FROM entities
+  UNION ALL
   SELECT url, label_de, 'located_at',
          CAST(geo_lat AS VARCHAR) || ',' || CAST(geo_lon AS VARCHAR)
   FROM entities WHERE geo_lat IS NOT NULL AND geo_lon IS NOT NULL) t""")
@@ -269,10 +279,31 @@ SELECT item, count(*) AS cnt
 FROM (SELECT unnest(categories) AS item FROM entities) t
 GROUP BY item ORDER BY cnt DESC, item LIMIT 10""")
 
-ORACLE["q16_top10_links"] = _full_chain("""
-SELECT item, count(*) AS cnt
-FROM (SELECT unnest(internal_links) AS item FROM entities) t
-GROUP BY item ORDER BY cnt DESC, item LIMIT 10""")
+ORACLE["q16_top10_all"] = _full_chain("""
+SELECT stat_key, item, cnt, rnk FROM (
+  SELECT stat_key, item, count(*) AS cnt,
+         CAST(row_number() OVER (PARTITION BY stat_key
+                                 ORDER BY count(*) DESC, item) AS INTEGER) AS rnk
+  FROM (
+    SELECT 'wikipedia_categories' AS stat_key, unnest(categories) AS item FROM entities
+    UNION ALL SELECT 'wikipedia_internal_links', unnest(internal_links) FROM entities
+    UNION ALL SELECT 'wikidata_instance_of', unnest(instance_of) FROM entities
+    UNION ALL SELECT 'wikidata_type', unnest(list_slice(instance_of, 1, 1)) FROM entities
+    UNION ALL SELECT 'wikidata_subclass_of', unnest(subclass_of) FROM entities
+    UNION ALL SELECT 'wikidata_part_of', unnest(part_of) FROM entities
+    UNION ALL SELECT 'wikidata_has_part', unnest(has_part) FROM entities
+    UNION ALL SELECT 'predicates', pred FROM (
+      SELECT 'instance_of' AS pred FROM entities
+      UNION ALL SELECT 'same_as' FROM entities WHERE wikidata_id <> ''
+      UNION ALL SELECT 'same_as' FROM entities WHERE dbpedia_uri <> ''
+      UNION ALL SELECT 'has_category' FROM (SELECT unnest(categories) FROM entities) c1
+      UNION ALL SELECT 'links_to' FROM (SELECT unnest(internal_links) FROM entities) c2
+      UNION ALL SELECT 'part_of' FROM (SELECT unnest(part_of) FROM entities) c3
+      UNION ALL SELECT 'has_part' FROM (SELECT unnest(has_part) FROM entities) c4
+      UNION ALL SELECT 'located_at' FROM entities
+                 WHERE geo_lat IS NOT NULL AND geo_lon IS NOT NULL) p
+  ) u GROUP BY stat_key, item) r
+WHERE rnk <= 10""")
 
 ORACLE["q17_linked_stats"] = _full_chain("""
 SELECT count(*) AS total_entities,
@@ -553,26 +584,45 @@ SELECT event_id,
        CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod10
 FROM events"""
 
-ORACLE["q44_pricing_summary"] = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus"""
+def _kb_build_sql() -> str:
+    """KB-build oracle: raw payloads → filter → merge projection → langlinks
+    self-join (mirrors operators.kb_build stage by stage)."""
+    return ("WITH " + fixtures.raw_pages_cte() + """,
+built0 AS (
+  SELECT trim(title) AS title, lang,
+         nullif(trim(coalesce(extract, '')), '') AS abstract,
+         wikibase_item AS wikidata_id,
+         list_transform(categories_raw,
+           c -> replace(replace(c, 'Category:', ''), 'Kategorie:', '')) AS categories,
+         links_raw AS internal_links, infobox AS infobox_type,
+         coord_lat AS geo_lat, coord_lon AS geo_lon,
+         thumbnail_source AS thumbnail_url,
+         instance_of, subclass_of, part_of, has_part,
+         langlink_lang, langlink_title
+  FROM raw_pages
+  WHERE page_id >= 0 AND title IS NOT NULL AND trim(title) <> ''),
+built AS (
+  SELECT b.*, p.title AS title_other, p.abstract AS abstract_other
+  FROM built0 b LEFT JOIN built0 p
+    ON b.langlink_title = p.title AND b.langlink_lang = p.lang)
+SELECT title, lang, coalesce(title_other, '') AS title_other,
+       coalesce(abstract, '') AS abstract,
+       coalesce(wikidata_id, '') AS wikidata_id,
+       array_to_string(categories, '|') AS categories_str,
+       array_to_string(internal_links, '|') AS links_str,
+       coalesce(infobox_type, '') AS infobox_type,
+       CAST(geo_lat AS VARCHAR) AS geo_lat_str,
+       CAST(geo_lon AS VARCHAR) AS geo_lon_str,
+       coalesce(thumbnail_url, '') AS thumbnail_url,
+       array_to_string(instance_of, '|') AS instance_str,
+       array_to_string(subclass_of, '|') AS subclass_str,
+       array_to_string(part_of, '|') AS part_of_str,
+       array_to_string(has_part, '|') AS has_part_str,
+       coalesce(abstract_other, '') AS abstract_other
+FROM built""")
 
-ORACLE["q45_top_customers"] = """
-SELECT c_custkey, c_name, n_name,
-       round(sum(o_totalprice), 2) AS revenue,
-       count(*) AS n_orders
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+ORACLE["q44_kb_build"] = _kb_build_sql()
 
 ORACLE["q46_simhash"] = _dd_with(_DD, final="""
 SELECT doc_id,

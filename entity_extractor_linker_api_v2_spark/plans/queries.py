@@ -187,8 +187,9 @@ def q_top10_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.top10(_entities(spark, sf_dir), "categories")
 
 
-def q_top10_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.top10(_entities(spark, sf_dir), "internal_links")
+def q_top10_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-22/O-28 over ALL EIGHT Statistics.top10 keys (linker.py:109-118)."""
+    return S.top10_all(_entities(spark, sf_dir))
 
 
 def q_linked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,32 +454,29 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.from_json("props", "k int").getField("k") % 10).alias("k_mod10"))
 
 
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-style pricing summary over lineitem (engine generality:
-    classic scan→filter→groupBy→multi-agg with map-side partials)."""
-    li = tables.load(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("sum_disc_price"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.count("*").alias("count_order")))
-
-
-def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + top-k: revenue per customer with nation dimension
-    (broadcast join of dims; the classic star-schema shape)."""
-    o = tables.load(spark, sf_dir, "orders")
-    c = tables.load(spark, sf_dir, "customer")
-    n = tables.load(spark, sf_dir, "nation")
-    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-                 F.count("*").alias("n_orders"))
-            .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+def q_kb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-12 + O-16: build the KB dimension from raw API-payload rows —
+    special-page filter, merge projection, langlinks self-join (see
+    operators.kb_build).  Compared projection stringifies arrays/doubles."""
+    from ..fixtures import raw_pages_df
+    from ..operators.kb_build import kb_build
+    kb = kb_build(raw_pages_df(spark))
+    return kb.select(
+        "title", "lang",
+        F.coalesce("title_other", F.lit("")).alias("title_other"),
+        F.coalesce("abstract", F.lit("")).alias("abstract"),
+        F.coalesce("wikidata_id", F.lit("")).alias("wikidata_id"),
+        _arr_str(F.col("categories")).alias("categories_str"),
+        _arr_str(F.col("internal_links")).alias("links_str"),
+        F.coalesce("infobox_type", F.lit("")).alias("infobox_type"),
+        F.col("geo_lat").cast("string").alias("geo_lat_str"),
+        F.col("geo_lon").cast("string").alias("geo_lon_str"),
+        F.coalesce("thumbnail_url", F.lit("")).alias("thumbnail_url"),
+        _arr_str(F.col("instance_of")).alias("instance_str"),
+        _arr_str(F.col("subclass_of")).alias("subclass_str"),
+        _arr_str(F.col("part_of")).alias("part_of_str"),
+        _arr_str(F.col("has_part")).alias("has_part_str"),
+        F.coalesce("abstract_other", F.lit("")).alias("abstract_other"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,7 +574,7 @@ QUERIES = {
     "q13_nodes": q_nodes,
     "q14_types_distribution": q_types_distribution,
     "q15_top10_categories": q_top10_categories,
-    "q16_top10_links": q_top10_links,
+    "q16_top10_all": q_top10_all,
     "q17_linked_stats": q_linked_stats,
     "q18_extraction_stats": q_extraction_stats,
     "q19_canonicalize": q_canonicalize,
@@ -604,8 +602,7 @@ QUERIES = {
     "q41_frame_sample": q_frame_sample,
     "q42_category_strip": q_category_strip,
     "q43_json_props": q_json_props,
-    "q44_pricing_summary": q_pricing_summary,
-    "q45_top_customers": q_top_customers,
+    "q44_kb_build": q_kb_build,
     "q46_simhash": q_simhash,
     "q47_compendium": q_compendium,
     "q48_qa_pairs": q_qa_pairs,

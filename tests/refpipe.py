@@ -80,12 +80,14 @@ def entity_record(url: str, label: str, etype: str, link_lang: str) -> dict:
             "geo_lat": page["geo_lat"], "geo_lon": page["geo_lon"],
             "infobox_type": page["infobox_type"] or "",
             "thumbnail_url": page["thumbnail_url"] or "", "status": "found",
+            "part_of": page["part_of"] or [], "has_part": page["has_part"] or [],
         }
     else:
         rec = {"label_de": "", "label_en": "", "url_de": "", "url_en": "",
                "extract": "", "wikidata_id": "", "categories": [],
                "internal_links": [], "geo_lat": None, "geo_lon": None,
-               "infobox_type": "", "thumbnail_url": "", "status": "not_found"}
+               "infobox_type": "", "thumbnail_url": "", "status": "not_found",
+               "part_of": [], "has_part": []}
     enh = refsem.enhance_fields(rec["label_de"], rec["label_en"], rec["url_de"],
                                 rec["url_en"], rec["status"], label)
     rec.update(enh)
@@ -110,6 +112,10 @@ def golden_triples(documents_rows) -> set[tuple[str, str, str, str]]:
                 triples.add((url, subj, "has_category", c))
             for li in r["internal_links"]:
                 triples.add((url, subj, "links_to", li))
+            for po in r["part_of"]:
+                triples.add((url, subj, "part_of", po))
+            for hp in r["has_part"]:
+                triples.add((url, subj, "has_part", hp))
             if r["geo_lat"] is not None and r["geo_lon"] is not None:
                 triples.add((url, subj, "located_at", f"{r['geo_lat']},{r['geo_lon']}"))
     return triples

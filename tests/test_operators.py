@@ -104,3 +104,44 @@ def test_salt_and_precomputed_paths_match(spark):
     a = {tuple(r) for r in run_pipeline(spark, SF_SMALL)["entities"].select(cols).collect()}
     c = {tuple(r) for r in run_pipeline(spark, SF_SMALL, n_salt=4)["entities"].select(cols).collect()}
     assert a == c
+
+
+def test_kb_build_reproduces_fixture_kb(spark):
+    """kb_build(raw payload rows) must reproduce the hand-authored KB
+    dimension exactly (title_other included — it now comes from the langlinks
+    SELF-JOIN, not a stored literal), drop special/titleless pages (O-12),
+    and yield NULL title_other for a dangling langlink."""
+    from entity_extractor_linker_api_v2_spark import fixtures
+    from entity_extractor_linker_api_v2_spark.operators.kb_build import KB_COLS, kb_build
+
+    built = kb_build(fixtures.raw_pages_df(spark)).cache()
+    fixture_titles = {(p["title"], p["lang"]) for p in fixtures.KB_PAGES}
+
+    rows = {(r["title"], r["lang"]): r.asDict()
+            for r in built.select(*KB_COLS).collect()}
+    # noise rows: special page / missing title / whitespace title dropped
+    assert ("Spezial:Suche", "de") not in rows
+    assert (None, "de") not in rows and ("", "en") not in rows
+    # dangling langlink -> present but title_other NULL
+    ghost = rows.pop(("Geisterseite", "de"))
+    assert ghost["title_other"] is None
+    # everything else matches the fixture KB byte-for-byte
+    assert set(rows) == fixture_titles
+    for p in fixtures.KB_PAGES:
+        got = rows[(p["title"], p["lang"])]
+        for k in fixtures._K:
+            assert got[k] == p[k], (p["title"], p["lang"], k, got[k], p[k])
+
+
+def test_kb_build_aliases_cover_gazetteer_labels(spark):
+    """The alias dictionary derived from the BUILT KB must resolve the same
+    probes as the fixture alias dict on the gazetteer label universe."""
+    from entity_extractor_linker_api_v2_spark import fixtures
+    from entity_extractor_linker_api_v2_spark.operators.kb_build import kb_aliases, kb_build
+
+    built = kb_build(fixtures.raw_pages_df(spark)).filter("title <> 'Geisterseite'")
+    derived = {(r["alias"], r["lang"], r["title"])
+               for r in kb_aliases(built).collect()}
+    fixture = {(a, lang, t) for a, t, lang, _ in fixtures.alias_rows()}
+    # initcap vs str.title() agree on this universe (no hyphens/apostrophes)
+    assert fixture == derived
