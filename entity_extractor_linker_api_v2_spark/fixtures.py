@@ -306,10 +306,11 @@ def scaled_aliases_df(spark, kb=None):
     from pyspark.sql import functions as F
     if kb is None:
         kb = scaled_kb_df(spark)
+    from .functions.textfns import title_case
     t = F.col("title")
     cands = F.array(
         F.struct(t.alias("alias"), F.lit(0).alias("alias_prio")),
-        F.struct(F.initcap(t).alias("alias"), F.lit(1).alias("alias_prio")),
+        F.struct(title_case(t).alias("alias"), F.lit(1).alias("alias_prio")),
         F.struct(F.lower(t).alias("alias"), F.lit(2).alias("alias_prio")),
         F.struct(F.upper(t).alias("alias"), F.lit(3).alias("alias_prio")),
         F.struct(F.when(t.startswith("Der "), F.expr("substring(title, 5)")).alias("alias"),

@@ -28,6 +28,8 @@ class Generator(Protocol):
     def qa_pairs(self, markdown: str, num_pairs: int,
                  max_chars: int | None) -> list[tuple[str, str]]: ...
     def compendium(self, topic: str, context: str) -> str: ...
+    def entities(self, text: str, max_entities: int,
+                 lang: str) -> list[tuple[str, str]]: ...
 
 
 class DeterministicGenerator:
@@ -57,6 +59,32 @@ class DeterministicGenerator:
     def compendium(self, topic: str, context: str) -> str:
         body = context if context else "*Keine Quellen verfügbar.*"
         return f"# {topic}\n\n{body}"
+
+    def entities(self, text: str, max_entities: int = 10,
+                 lang: str = "de") -> list[tuple[str, str]]:
+        """mode="generate" twin (openai_wrapper.py:207-338): related KB
+        titles by content-token overlap with the page abstract — the
+        row-level equivalent of operators.generate.generate_mentions."""
+        import re
+
+        from .. import fixtures
+        from ..operators.generate import INFOBOX_TYPE, MIN_TOKEN_LEN
+
+        def toks(s: str) -> set[str]:
+            return {t for t in re.split(r"[^a-zäöüß]+", s.lower())
+                    if len(t) >= MIN_TOKEN_LEN}
+
+        tt = toks(text)
+        scored: list[tuple[int, str, str]] = []
+        for p in fixtures.KB_PAGES:
+            if p["lang"] != lang or not p["abstract"]:
+                continue
+            ov = len(tt & toks(p["abstract"]))
+            if ov >= 1:
+                typ = INFOBOX_TYPE.get(p["infobox_type"] or "", "CONCEPT")
+                scored.append((-ov, p["title"], typ))
+        scored.sort()
+        return [(t, typ) for _, t, typ in scored[:max_entities]]
 
 
 DEFAULT_GENERATOR: Generator = DeterministicGenerator()

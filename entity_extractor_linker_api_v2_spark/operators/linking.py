@@ -37,8 +37,9 @@ from ..fixtures import aliases_df, kb_pages_df, redirects_df
 
 
 def _variation_array(label):
+    from ..functions.textfns import title_case
     return F.array(
-        F.initcap(label),
+        title_case(label),
         F.lower(label),
         F.upper(label),
         F.when(label.startswith("Der "), F.expr("substring(label, 5)")),

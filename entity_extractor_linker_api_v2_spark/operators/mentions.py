@@ -19,12 +19,15 @@ from pyspark.sql import functions as F
 from ..fixtures import DEFAULT_MAX_ENTITIES
 
 
-def explode_mentions(docs_with_mentions: DataFrame, mentions_col: str = "mentions") -> DataFrame:
-    """(url, link_lang, mentions:array<struct>) → one row per raw mention."""
+def explode_mentions(docs_with_mentions: DataFrame, mentions_col: str = "mentions",
+                     extra_cols: list[str] | None = None) -> DataFrame:
+    """(url, link_lang, mentions:array<struct>) → one row per raw mention.
+    extra_cols (e.g. the split stage's chunk_off) are carried through."""
+    extra = list(extra_cols or [])
     return (
         docs_with_mentions
-        .select("url", "link_lang", F.explode(mentions_col).alias("m"))
-        .select("url", "link_lang",
+        .select("url", "link_lang", *extra, F.explode(mentions_col).alias("m"))
+        .select("url", "link_lang", *extra,
                 F.col("m.surface").alias("surface"),
                 F.col("m.label").alias("label"),
                 F.col("m.type").alias("type"),

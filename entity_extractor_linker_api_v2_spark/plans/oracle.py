@@ -19,8 +19,12 @@ from .. import fixtures
 
 # -- dialect helpers --------------------------------------------------------
 
-_TITLE = ("array_to_string(list_transform(string_split({x}, ' '), "
-          "w -> upper(w[1]) || lower(w[2:])), ' ')")
+# char-wise str.title() emulation (EVERY uncased char is a word boundary,
+# matching functions.textfns.title_case / Python str.title) — not initcap.
+_TITLE = ("array_to_string(list_transform(string_split({x}, ''), (c, i) -> "
+          "CASE WHEN NOT regexp_matches(c, '[\\p{{Lu}}\\p{{Ll}}\\p{{Lt}}]') THEN c "
+          "WHEN i = 1 OR NOT regexp_matches({x}[i-1:i-1], '[\\p{{Lu}}\\p{{Ll}}\\p{{Lt}}]') "
+          "THEN upper(replace(c, 'ß', 'ss')) ELSE lower(c) END), '')")
 _PYUPPER = "upper(replace({x}, 'ß', 'ss'))"
 
 
@@ -348,9 +352,12 @@ sig AS (SELECT doc_id, CAST(h.i AS INTEGER) AS sig_idx,
                min(md5(CAST(h.i AS VARCHAR) || '|' || shingle)) AS minhash
         FROM sh, unnest(range(0, 8)) h(i)
         GROUP BY doc_id, h.i),
-bands AS (SELECT doc_id, CAST(sig_idx // 2 AS INTEGER) AS band_id,
-                 md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
-          FROM sig GROUP BY doc_id, sig_idx // 2),
+bands0 AS (SELECT doc_id, CAST(sig_idx // 2 AS INTEGER) AS band_id,
+                  md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+           FROM sig GROUP BY doc_id, sig_idx // 2),
+bands AS (SELECT doc_id, band_id, band_key FROM bands0
+          QUALIFY row_number() OVER (PARTITION BY band_id, band_key
+                                     ORDER BY doc_id) <= 64),
 lsh_pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
               FROM bands l JOIN bands r
                 ON l.band_id = r.band_id AND l.band_key = r.band_key

@@ -145,3 +145,39 @@ def test_kb_build_aliases_cover_gazetteer_labels(spark):
     fixture = {(a, lang, t) for a, t, lang, _ in fixtures.alias_rows()}
     # initcap vs str.title() agree on this universe (no hyphens/apostrophes)
     assert fixture == derived
+
+
+def test_lsh_bucket_cap_bounds_pair_blowup(spark):
+    """100 identical docs share every band bucket: uncapped LSH would emit
+    all C(100,2)=4950 pairs (m^2 blowup per boilerplate cluster); the bucket
+    cap keeps the pair count at C(cap,2) — linear in buckets, not members."""
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "'alpha beta gamma delta epsilon zeta eta theta' AS text")
+    assert dedup.lsh_candidate_pairs(docs, bucket_cap=8).count() == 8 * 7 // 2
+    assert dedup.lsh_candidate_pairs(docs, bucket_cap=0).count() == 100 * 99 // 2
+
+
+def test_variation_array_matches_refsem_on_tricky_names(spark):
+    """Three-way casing agreement, Spark half: the probe-side
+    _variation_array must equal refsem.name_variations (ordered, deduped,
+    original excluded) on hyphenated/apostrophe/digit/umlaut names — the
+    cases where initcap and str.title() diverge."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_linker_api_v2_spark import refsem
+    from entity_extractor_linker_api_v2_spark.operators.linking import _variation_array
+
+    names = ["Karl-Marx-Stadt", "karl-marx-stadt", "o'neill", "O'NEILL",
+             "Der Weiße Hai", "die brücke", "MÜNCHEN-OST", "a1b c2d",
+             "Groß-Gerau", "weiß-blau", "Sankt  Pölten", "D'Artagnan",
+             "Entity001", "ÄÖÜ äöü", "Bad Homburg v.d. Höhe"]
+    df = spark.createDataFrame([(n,) for n in names], "label string")
+    got = {r["label"]: r["vars"] for r in df.select(
+        "label",
+        F.array_distinct(F.filter(_variation_array(F.col("label")),
+                                  lambda v: v.isNotNull() & (v != F.col("label"))))
+        .alias("vars")).collect()}
+    for n in names:
+        assert got[n] == refsem.name_variations(n), (n, got[n], refsem.name_variations(n))

@@ -106,3 +106,25 @@ def test_qa_parse_truncation_bound(content, max_chars):
     for q, a in refsem.parse_qa_lines(content, max_chars=max_chars):
         assert q and a
         assert len(a) <= max_chars
+
+
+# word-initial ß: Python titlecases to 'Ss', Java/DuckDB uppercase to 'SS' —
+# German orthography never has it; excluded by the generators (documented in
+# functions/textfns.py).
+name_st = st.text(
+    alphabet="abcdefgäöüß ABCDEFGÄÖÜ-'1", min_size=1, max_size=24
+).filter(lambda s: not re.search(r"(^|[^A-Za-zÄÖÜäöü])ß", s))
+
+
+@given(name_st)
+@settings(max_examples=200, deadline=None)
+def test_duckdb_title_emulation_matches_python_title(w):
+    """The oracle's char-wise _TITLE must be byte-identical to str.title()
+    (the reference casing, strategies.py:232) — NOT initcap."""
+    import duckdb
+
+    from entity_extractor_linker_api_v2_spark.plans.oracle import _TITLE
+    got = duckdb.sql(
+        "SELECT " + _TITLE.format(x="x") + " FROM (VALUES (?)) t(x)",
+        params=[w]).fetchone()[0]
+    assert got == w.title(), (w, got, w.title())
