@@ -27,7 +27,11 @@ def get_spark(app_name: str = "eel-v2-spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # Arrow batch rows: at ~7 kB/page, 50k rows = ~350 MB in flight PER
+        # TASK — with 32 concurrent tasks that is >10 GB of transient heap.
+        # 8k rows (~56 MB/task) keeps GC quiet at full parallelism.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_ARROW_BATCH", "8192"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -63,3 +63,64 @@ def windowed_entity_counts(entities_with_ts: DataFrame,
             .withWatermark("warc_ts", watermark)
             .groupBy(F.window("warc_ts", window).alias("win"), "type")
             .agg(F.count("*").alias("cnt")))
+
+
+SESSION_GAP_SEC = 1800
+_SESSION_OUT = ("user_id bigint, session_no int, n_events int, "
+                "session_start timestamp")
+_SESSION_STATE = "session_no int, n_events int, last_us bigint, start_us bigint"
+
+
+def _sessionize_fn(key, pdfs, state):
+    """applyInPandasWithState update fn: per-user gap sessionization.
+
+    State = (current session number, its event count, last/first event time
+    as integer MICROseconds — float seconds would round-trip through ns with
+    sub-µs junk Arrow refuses to truncate).  Emits one row per COMPLETED
+    session; the open session stays in state until a later event (or
+    timeout) closes it.  Same 30-min-gap rule as the batch twin
+    q32_sessionize."""
+    import pandas as pd
+    (user_id,) = key
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    if state.hasTimedOut:
+        sess_no, n, _last, start = state.get
+        state.remove()
+        yield pd.DataFrame({"user_id": [user_id], "session_no": [sess_no],
+                            "n_events": [n],
+                            "session_start": [pd.Timestamp(start, unit="us")]})
+        return
+    sess_no, n, last, start = state.get if state.exists else (0, 0, None, None)
+    out = []
+    ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+    for ts in ts_all:
+        t = ts.value // 1000  # ns -> us
+        if last is None or t - last > gap_us:
+            if n > 0:
+                out.append((user_id, sess_no, n, pd.Timestamp(start, unit="us")))
+            sess_no, n, start = sess_no + 1, 0, t
+        n, last = n + 1, t
+    state.update((sess_no, n, last, start))
+    # EVENT-time timeout (fires when the watermark passes last+gap): a
+    # processing-time timeout would keep an availableNow run spinning
+    # "cleaning up state" micro-batches for the full wall-clock gap.
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_SEC * 1000)
+    yield pd.DataFrame(out, columns=["user_id", "session_no", "n_events",
+                                     "session_start"])
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: gap-based
+    sessionization (30-min inactivity) over an events stream — the streaming
+    twin of the batch q32_sessionize window formulation.  State is one tiny
+    tuple per user; timeout closes idle sessions so state size is bounded by
+    ACTIVE users, not history.  (§2.8 — the reference has no streaming at
+    all; this is the task-mandated custom-stateful-operator capability.)"""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))  # parquet NTZ
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_fn, _SESSION_OUT, _SESSION_STATE,
+                "append", GroupStateTimeout.EventTimeTimeout))

@@ -64,10 +64,31 @@ def main() -> None:
         "```\n" + plan_of(QUERIES["q28_ann_topk"](spark, SF)) + "```\n")
 
     sections.append(
-        "## TPC-H-style pricing summary (q44)\n\n"
-        "Check: PushedFilters on l_shipdate at the parquet scan, partial\n"
-        "HashAggregate before the exchange (map-side combine).\n\n"
-        "```\n" + plan_of(QUERIES["q44_pricing_summary"](spark, SF)) + "```\n")
+        "## SimHash (q46, one-pass)\n\n"
+        "Check: zero Exchange below the final projection, single aggregate\n"
+        "traversal (md5 once per word) — all whole-stage-codegen'd.\n\n"
+        "```\n" + plan_of(QUERIES["q46_simhash"](spark, SF)) + "```\n")
+
+    sections.append(
+        "## KB build (q44): filter → merge projection → langlinks self-join\n\n"
+        "Check: one filter+project over the raw payload scan; the langlinks\n"
+        "partner side is BroadcastHashJoin (shuffle-free here; an equi-join\n"
+        "on unique (title, lang) at 10^7+ pages).\n\n"
+        "```\n" + plan_of(QUERIES["q44_kb_build"](spark, SF)) + "```\n")
+
+    sections.append(
+        "## 8-key statistics top10 (q16)\n\n"
+        "Check: ONE explode over per-entity (stat_key, item) pair arrays +\n"
+        "one hash aggregate with map-side partials; the rank window\n"
+        "partitions on stat_key (8 groups).\n\n"
+        "```\n" + plan_of(QUERIES["q16_top10_all"](spark, SF)) + "```\n")
+
+    sections.append(
+        "## K-means centroid update (q51)\n\n"
+        "Check: centroid recompute is one HashAggregate with partial_avg per\n"
+        "dimension (map-side combine) — NO posexplode of n×dim rows; the\n"
+        "distance stage is a broadcast crossJoin of k centroids.\n\n"
+        "```\n" + plan_of(QUERIES["q51_kmeans"](spark, SF)) + "```\n")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:

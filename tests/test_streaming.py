@@ -57,3 +57,40 @@ def test_windowed_watermarked_counts(spark, tmp_path):
              .agg(F.count("*").alias("cnt")))
     want = {(r.win.start, r.type): r.cnt for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: completed sessions emitted by the
+    stream must equal the batch q32 sessionization, minus each user's final
+    (still-open, held-in-state) session."""
+    from entity_extractor_linker_api_v2_spark.plans.queries import q_sessionize
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import sessionize_stream
+
+    ev_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_SMALL}/events.parquet").write.parquet(ev_dir)
+    schema = spark.read.parquet(ev_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(ev_dir)
+    # huge watermark delay => no event-time timeouts fire, so the stream
+    # emits exactly the sessions CLOSED by a later event — each user's final
+    # session is still open in state (what the batch job cannot express)
+    q = (sessionize_stream(stream, watermark="87600 hours")
+         .writeStream.format("memory")
+         .queryName("sess").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_no):
+           (r.n_events, r.session_start.replace(microsecond=0))
+           for r in spark.sql("select * from sess").collect()}
+
+    batch = q_sessionize(spark, SF_SMALL).collect()
+    last = {}
+    for r in batch:
+        last[r.user_id] = max(last.get(r.user_id, 0), r.session_no)
+    import datetime as dt
+    want = {(r.user_id, r.session_no):
+            (r.n_events,
+             dt.datetime.strptime(r.session_start, "%Y-%m-%d %H:%M:%S"))
+            for r in batch if r.session_no < last[r.user_id]}
+    assert len(got) > 0
+    assert got == want
