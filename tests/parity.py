@@ -34,7 +34,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
-    """Returns list of problems; empty == match."""
+    """Returns list of problems; empty == match.
+
+    NOTE (round-1 q11 lesson): the driver hashes REPRESENTATIONS — a
+    bit-identical unrounded double can still hash-mismatch across engines.
+    Compared projections must round (computed) or stringify (stored) float
+    columns on both sides; this tolerance-based compare cannot catch that."""
     probs: list[str] = []
     s = normalize(spark_df.toPandas())
     o = normalize(oracle_pdf)

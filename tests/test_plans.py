@@ -69,3 +69,37 @@ def test_topk_is_limit_after_sort(spark):
     from entity_extractor_linker_api_v2_spark.sources import tables
     plan = _plan(similarity.brute_force_topk(tables.load(spark, SF_SMALL, "embeddings")))
     assert "TakeOrderedAndProject" in plan  # per-partition top-k + single reduce
+
+
+def test_kmeans_centroid_update_is_partial_agg_not_explode(spark):
+    """Centroid recompute must be per-dimension partial_avg aggregates
+    (map-side combine; k×dim partials cross the exchange) — a posexplode
+    formulation would shuffle n×dim rows per iteration (visible as a
+    Generate node feeding the aggregate)."""
+    from entity_extractor_linker_api_v2_spark.plans.queries import q_kmeans
+    plan = _plan(q_kmeans(spark, SF_SMALL))
+    assert "partial_avg" in plan
+    assert "Generate" not in plan  # no explode anywhere in the kmeans plan
+
+
+def test_simhash_is_single_pass_no_shuffle(spark):
+    """One-pass simhash: no Exchange (per-row array math only) and exactly
+    one md5 call site in the expression tree (the naive per-bit formulation
+    had 32)."""
+    from entity_extractor_linker_api_v2_spark.plans.queries import q_simhash
+    plan = _plan(q_simhash(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    # word-hash appears once per plan-detail rendering (~3 mentions);
+    # the naive per-bit formulation put 32 md5 calls in the tree (>30)
+    assert plan.count("md5") <= 4
+
+
+def test_lsh_bucket_cap_reuses_band_shuffle(spark):
+    """The bucket-cap window must partition on the SAME (band_id, band_key)
+    key as the pair join — exactly one shuffle on band keys feeds both."""
+    from entity_extractor_linker_api_v2_spark.plans.queries import q_lsh_pairs
+    plan = _plan(q_lsh_pairs(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    # band-key exchanges: the cap window + the self-join sides share
+    # hashpartitioning on (band_id, band_key); no exchange on raw text
+    assert "hashpartitioning(band_id" in plan
