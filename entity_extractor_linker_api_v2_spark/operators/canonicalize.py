@@ -38,8 +38,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     its neighbors.  Stops at fixpoint (checked via count of changed rows) or
     max_iter.  localCheckpoint truncates the growing plan each round.
     """
+    # materialize the (tiny) undirected edge relation ONCE — it is joined in
+    # every round, and a lazy `und` would re-run its whole upstream lineage
+    # (the pandas extraction chain) per iteration
     und = (edges.select("a", "b")
-           .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+           .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .localCheckpoint())
     nodes = und.select(F.col("a").alias("node")).distinct()
     comps = nodes.withColumn("comp", F.col("node")).localCheckpoint()
 

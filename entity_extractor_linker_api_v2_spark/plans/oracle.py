@@ -377,7 +377,17 @@ SELECT fp, n_dups, keep_id FROM (
 WHERE n_dups > 1""")
 
 ORACLE["q21_fingerprint"] = _dd_with(_DD, final="""
-SELECT doc_id, md5(norm) AS fp FROM ddn""")
+SELECT DISTINCT doc_id, fp FROM (
+  SELECT doc_id, i, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM (
+    SELECT doc_id, n_grams, u.i,
+           ('0x' || substr(md5(norm[u.i : u.i + 7]), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, norm, length(norm) - 7 AS n_grams FROM ddn) t,
+         unnest(range(1, greatest(n_grams, 0) + 1)) u(i)
+    WHERE n_grams >= 4) g) w
+WHERE i <= n_grams - 3""")
 
 ORACLE["q22_minhash_sig"] = _dd_with(_DD, _SHINGLE, final="""
 SELECT doc_id, sig_idx, minhash FROM sig""")

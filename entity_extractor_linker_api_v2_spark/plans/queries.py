@@ -230,8 +230,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS scheme) — the
+    position-robust document fingerprint; whole-doc md5 stays the exact-dedup
+    key (q20)."""
     from ..operators import dedup
-    return dedup.fingerprint(_dedup_corpus(spark, sf_dir))
+    return dedup.winnow_fingerprints(_dedup_corpus(spark, sf_dir))
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
