@@ -181,3 +181,15 @@ def test_variation_array_matches_refsem_on_tricky_names(spark):
         .alias("vars")).collect()}
     for n in names:
         assert got[n] == refsem.name_variations(n), (n, got[n], refsem.name_variations(n))
+
+
+def test_ivf_topk_with_prebuilt_index_matches_inline(spark):
+    """The build-once IVF index path (ivf_topk(index=...)) must return the
+    same top-k as the inline recompute."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    from entity_extractor_linker_api_v2_spark.sources import tables
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = similarity.ivf_assign(emb).cache()
+    inline = [tuple(r) for r in similarity.ivf_topk(emb).collect()]
+    reused = [tuple(r) for r in similarity.ivf_topk(emb, index=idx).collect()]
+    assert inline == reused and len(inline) == 10
