@@ -1,0 +1,43 @@
+"""Bucketed-table storage: shuffle-free repeated joins at warehouse scale.
+
+At 10^12 pages the mention fact table is re-joined against the resolution
+dimension (and against itself for co-occurrence analyses) across many jobs.
+Broadcasting covers dimensions up to a few GB; beyond that, every job pays a
+sort-merge shuffle of the FACT side — unless both sides are stored
+pre-hash-partitioned on the join key.  Spark's bucketing does exactly that:
+`bucketBy(n, key)` + `sortBy(key)` at write time persists hash-bucketed,
+sorted parquet; a later equi-join of two tables bucketed on the same key
+with the same bucket count compiles to a SortMergeJoin with ZERO Exchange
+on either side (asserted in tests/test_plans.py) — the shuffle is paid once
+at ingest, amortized over every downstream join.
+
+This is the third linking regime, complementing:
+  * broadcast join        — dimension fits in memory (the default here)
+  * salted shuffle join   — one-off join with head-key skew (`join_back`)
+  * bucketed join         — REPEATED joins against a huge dimension
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def save_bucketed(df: DataFrame, table: str, keys: list[str],
+                  buckets: int = 8, sort: bool = True) -> DataFrame:
+    """Persist df hash-bucketed (and within-bucket sorted) on `keys`;
+    returns the table handle whose scans carry the bucketing property."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+    return df.sparkSession.table(table)
+
+
+def bucketed_join(left_table: str, right_table: str, keys: list[str],
+                  spark=None, how: str = "inner") -> DataFrame:
+    """Join two same-key/same-count bucketed tables — plans with no shuffle
+    Exchange on either side (bucketing gives co-partitioning; sortBy gives
+    co-ordering, so even the sort is free)."""
+    from pyspark.sql import SparkSession
+    spark = spark or SparkSession.getActiveSession()
+    return spark.table(left_table).join(spark.table(right_table), keys, how)

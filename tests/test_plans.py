@@ -103,3 +103,37 @@ def test_lsh_bucket_cap_reuses_band_shuffle(spark):
     # band-key exchanges: the cap window + the self-join sides share
     # hashpartitioning on (band_id, band_key); no exchange on raw text
     assert "hashpartitioning(band_id" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange (no shuffle, no sort beyond the bucket order) —
+    the pay-once-at-ingest regime for repeated fact×dimension joins."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_linker_api_v2_spark.operators.extract import extract_and_detect
+    from entity_extractor_linker_api_v2_spark.sources import tables
+    from entity_extractor_linker_api_v2_spark.sources.bucketed import (
+        bucketed_join, save_bucketed)
+
+    ments = extract_and_detect(tables.docs_table(spark, SF_SMALL), dedup=True)
+    dim = ments.select("label").distinct().withColumn(
+        "dim_val", F.sha2("label", 256))
+    save_bucketed(ments, "t_mentions_b", ["label"], buckets=4)
+    save_bucketed(dim, "t_dim_b", ["label"], buckets=4)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bucketed_join("t_mentions_b", "t_dim_b", ["label"], spark)
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # and the result matches the plain join
+            plain = ments.join(dim, "label")
+            assert j.count() == plain.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_mentions_b")
+        spark.sql("DROP TABLE IF EXISTS t_dim_b")
