@@ -242,8 +242,8 @@ SELECT url, label, type, CAST(mention_idx AS BIGINT) AS mention_idx,
        CAST(geo_lat AS VARCHAR) AS geo_lat_str,
        CAST(geo_lon AS VARCHAR) AS geo_lon_str,
        dbpedia_uri, wiki_status, status, entity_id,
-       array_to_string(categories, '|') AS categories_str,
-       array_to_string(internal_links, '|') AS links_str
+       coalesce(array_to_string(categories, '|'), '') AS categories_str,
+       coalesce(array_to_string(internal_links, '|'), '') AS links_str
 FROM entities""")
 
 ORACLE["q12_triples"] = _full_chain("""
@@ -625,16 +625,16 @@ built AS (
 SELECT title, lang, coalesce(title_other, '') AS title_other,
        coalesce(abstract, '') AS abstract,
        coalesce(wikidata_id, '') AS wikidata_id,
-       array_to_string(categories, '|') AS categories_str,
-       array_to_string(internal_links, '|') AS links_str,
+       coalesce(array_to_string(categories, '|'), '') AS categories_str,
+       coalesce(array_to_string(internal_links, '|'), '') AS links_str,
        coalesce(infobox_type, '') AS infobox_type,
        CAST(geo_lat AS VARCHAR) AS geo_lat_str,
        CAST(geo_lon AS VARCHAR) AS geo_lon_str,
        coalesce(thumbnail_url, '') AS thumbnail_url,
-       array_to_string(instance_of, '|') AS instance_str,
-       array_to_string(subclass_of, '|') AS subclass_str,
-       array_to_string(part_of, '|') AS part_of_str,
-       array_to_string(has_part, '|') AS has_part_str,
+       coalesce(array_to_string(instance_of, '|'), '') AS instance_str,
+       coalesce(array_to_string(subclass_of, '|'), '') AS subclass_str,
+       coalesce(array_to_string(part_of, '|'), '') AS part_of_str,
+       coalesce(array_to_string(has_part, '|'), '') AS has_part_str,
        coalesce(abstract_other, '') AS abstract_other
 FROM built""")
 

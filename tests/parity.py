@@ -60,7 +60,12 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
             if bad:
                 probs.append(f"col {c}: {bad} float mismatches")
         else:
-            neq = (sv.fillna("\0") != ov.fillna("\0"))
+            # NB: fillna("\0") is a TRAP — pandas 2.x turns the NUL char into
+            # '' so NULL compared equal to empty string, masking the exact
+            # delta that failed the round-1 driver hash (DuckDB
+            # array_to_string([]) is NULL, Spark array_join([]) is '').
+            sentinel = "<␀NULL␀>"
+            neq = (sv.fillna(sentinel) != ov.fillna(sentinel))
             if neq.any():
                 i = int(neq.idxmax())
                 probs.append(f"col {c}: {int(neq.sum())} mismatches, first at row {i}: "

@@ -21,3 +21,29 @@ def test_parity(spark, name):
         pytest.skip("non-SQL-expressible; rows-only check at driver")
     res = parity.run_parity(spark, SF_SMALL, names=[name])
     assert res[name] == [], f"{name}: {res[name]}"
+
+
+STRICT_SUBSET = ["q11_entities", "q44_kb_build", "q12_triples",
+                 "q21_fingerprint", "q16_top10_all", "q13_nodes"]
+
+
+@pytest.mark.parametrize("name", STRICT_SUBSET)
+def test_strict_representation_hash(spark, name):
+    """Driver-hash model: stringify every cell (NULL as a sentinel), sort
+    rows, sha256 — representation-sensitive, unlike the tolerance compare.
+    Catches NULL-vs-'' and numeric-rendering deltas (the round-1 q11 driver
+    failure: DuckDB array_to_string([]) is NULL, Spark array_join([]) '')."""
+    import hashlib
+
+    def strict_hash(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].map(lambda v: "<NULL>" if v is None or
+                              (isinstance(v, float) and v != v) else str(v))
+        rows = sorted("\x1f".join(r) for r in df.itertuples(index=False, name=None))
+        return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
+
+    con = parity.duck_con(SF_SMALL)
+    s = QUERIES[name](spark, SF_SMALL).toPandas()
+    o = con.execute(ORACLE[name]).fetchdf()
+    assert strict_hash(s) == strict_hash(o)
