@@ -7,13 +7,20 @@ mention labels, canonical German labels and Wikidata QIDs form a graph
 real-world entity; the canonical id is the lexicographic minimum member
 (hashed for stability).
 
-Implementation: iterative min-label propagation with
-``localCheckpoint()`` each round to cut lineage (SURVEY §4.2 — a driver-side
-loop; no Catalyst analog, no GraphFrames dependency).  Convergence is
-O(graph diameter) rounds; each round is one shuffle (groupBy node).  For
-hub-heavy graphs at 10^12-page scale, swap the propagation step for
-small-star/large-star (same loop skeleton) — diameters here are tiny because
-components are star-shaped around QIDs.
+Two implementations, identical partitions (pytest-asserted on chain / hub /
+random graphs):
+
+  * ``connected_components`` — min-label propagation WITH pointer jumping
+    (each round also adopts comp(comp)): O(log diameter) rounds, one
+    groupBy-node shuffle + one comp-lookup join per round.  The default for
+    the star-shaped entity graphs here.
+  * ``connected_components_star`` — alternating small-star / large-star
+    (Kiveris et al.): the hub-safe choice at 10^12 edges — neighbor sets
+    never materialize on one row (join-based, no collect_list) and rounds
+    strictly shrink the edge relation toward the component stars.
+
+Both are driver-side loops with ``localCheckpoint()`` per round to cut
+lineage (SURVEY §4.2 — no Catalyst analog, no GraphFrames dependency).
 """
 
 from __future__ import annotations
@@ -52,7 +59,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                    .select(F.col("b").alias("node"), "comp")
                    .groupBy("node").agg(F.min("comp").alias("nbr_comp")))
         new = (comps.join(nbr_min, "node", "left")
-               .select("node", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
+               .select("node", F.least("comp", F.coalesce("nbr_comp", "comp"))
+                       .alias("comp")))
+        # pointer jumping (path compression): also adopt comp(comp) — turns
+        # O(diameter) convergence into O(log diameter); without it a
+        # 60-link chain silently failed to converge inside max_iter=20
+        # (caught by the small-star/large-star equivalence test)
+        c2 = new.select(F.col("node").alias("c_node"),
+                        F.col("comp").alias("c_comp"))
+        new = (new.join(c2, new.comp == c2.c_node, "left")
+               .select("node", F.least("comp", F.coalesce("c_comp", "comp"))
+                       .alias("comp"))
                .localCheckpoint())
         changed = (new.alias("n").join(comps.alias("o"), "node")
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
@@ -60,6 +77,68 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return comps
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Alternating small-star / large-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the hub-safe formulation for 10^12-edge graphs:
+
+      large-star: every node u links each LARGER neighbor v>u to
+                  m = min(Γ(u) ∪ {u})
+      small-star: every node u links each not-larger neighbor (and itself)
+                  to the minimum among them
+
+    Both steps are expressed as ONE aggregation + ONE join over the edge
+    relation (no collect_list — a hub's neighbor set never materializes on
+    a single row), so per-round memory is O(1) per edge.  Converges in
+    O(log n) rounds on chain-shaped graphs where plain min-label
+    propagation needs O(diameter).  Node ids are strings; lexicographic
+    order plays the role of the integer order in the paper.
+
+    Returns (node, comp) with comp = the component's minimum member —
+    identical partition (pytest-asserted on random graphs) to
+    ``connected_components``.
+    """
+    e = (edges.select("a", "b")
+         .filter(F.col("a") != F.col("b"))
+         .distinct().localCheckpoint())
+    all_nodes = (e.select(F.col("a").alias("node"))
+                 .unionByName(e.select(F.col("b").alias("node")))
+                 .distinct().localCheckpoint())
+
+    def star(ed: DataFrame, large: bool) -> DataFrame:
+        # each step views the edge list as UNDIRECTED: symmetrize first
+        # (neighbor sets are wrong otherwise — the previous step's output
+        # is directed (member -> min))
+        sym = ed.unionByName(
+            ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        src = sym if large else sym.filter(F.col("b") <= F.col("a"))
+        m = (src.groupBy("a").agg(F.min("b").alias("_mn"))
+             .select("a", F.least(F.col("a"), F.col("_mn")).alias("m")))
+        if large:
+            out = (sym.join(m, "a").filter(F.col("b") > F.col("a"))
+                   .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        else:
+            out = (src.join(m, "a")
+                   .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                   .unionByName(m.select("a", F.col("m").alias("b"))))
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = star(star(e, large=True), large=False).localCheckpoint()
+        # convergence check: the edge relation is a fixpoint when its
+        # (count, checksum) signature stops changing
+        sig = tuple(e.agg(F.count("*"),
+                          F.expr("bit_xor(xxhash64(a, b))")).collect()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # after convergence e is a star: (member, root); roots map to themselves
+    comps = e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+    return (all_nodes.join(comps, "node", "left")
+            .select("node", F.coalesce("comp", "node").alias("comp")))
 
 
 def canonical_entities(entities: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -193,3 +193,25 @@ def test_ivf_topk_with_prebuilt_index_matches_inline(spark):
     inline = [tuple(r) for r in similarity.ivf_topk(emb).collect()]
     reused = [tuple(r) for r in similarity.ivf_topk(emb, index=idx).collect()]
     assert inline == reused and len(inline) == 10
+
+
+def test_star_cc_equals_min_propagation(spark):
+    """small-star/large-star components must produce the identical
+    (node, comp=min member) partition as min-label propagation on chains
+    (worst case for propagation), hubs, forests, and random graphs."""
+    import random
+
+    from entity_extractor_linker_api_v2_spark.operators.canonicalize import (
+        connected_components, connected_components_star)
+
+    rng = random.Random(42)
+    chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(60)]
+    hub = [("hub", f"h{i:03d}") for i in range(80)]
+    rand = [(f"r{rng.randrange(120):03d}", f"r{rng.randrange(120):03d}")
+            for _ in range(150)]
+    edges = [(a, b) for a, b in chain + hub + rand if a != b]
+    df = spark.createDataFrame(edges, "a string, b string")
+
+    prop = {(r["node"], r["comp"]) for r in connected_components(df).collect()}
+    star = {(r["node"], r["comp"]) for r in connected_components_star(df).collect()}
+    assert prop == star and len(star) > 0
