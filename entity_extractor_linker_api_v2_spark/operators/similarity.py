@@ -85,9 +85,14 @@ def ivf_assign(df: DataFrame, id_col: str = "vec_id",
 
 def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             index: DataFrame | None = None) -> DataFrame:
-    """IVF search: rank the query vector's centroids by dot, probe only the
-    single best inverted list, exact cosine inside it.
+             index: DataFrame | None = None, nprobe: int = 1) -> DataFrame:
+    """IVF search: rank the query vector's centroids by dot, probe the
+    `nprobe` best inverted lists, exact cosine inside them.
+
+    `nprobe` is the recall/cost dial: 1 scans ~n/K vectors; K scans all of
+    them (== brute force, pytest-asserted).  On isotropic random vectors
+    single-probe recall is structurally ≈ nprobe/K — real (clustered)
+    embeddings are the regime IVF exists for.
 
     `index` = a precomputed ivf_assign() result: at scale the index is BUILT
     ONCE (materialized/bucketed by centroid_id, e.g. via StageCheckpoint)
@@ -100,7 +105,7 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
     cents = (df.filter((F.col(id_col) % N_CENTROIDS) == 0)
              .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")))
     best_c = (cents.withColumn("_qd", _dot(F.col("cvec"), q))
-              .orderBy(F.desc("_qd"), "centroid_id").limit(1)
+              .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
               .select("centroid_id"))
     score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
     return (df.join(assign, id_col).join(F.broadcast(best_c), "centroid_id")

@@ -84,6 +84,13 @@ def main() -> None:
         "```\n" + plan_of(QUERIES["q16_top10_all"](spark, SF)) + "```\n")
 
     sections.append(
+        "## Jaccard verify on LSH candidates (q24)\n\n"
+        "Check: the shingle-intersection join keys on (doc, shingle) — a\n"
+        "hash join, not a filtered cross product; shuffle keys are ids +\n"
+        "shingle strings, never documents.\n\n"
+        "```\n" + plan_of(QUERIES["q24_jaccard_pairs"](spark, SF)) + "```\n")
+
+    sections.append(
         "## K-means centroid update (q51)\n\n"
         "Check: centroid recompute is one HashAggregate with partial_avg per\n"
         "dimension (map-side combine) — NO posexplode of n×dim rows; the\n"

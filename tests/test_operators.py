@@ -215,3 +215,26 @@ def test_star_cc_equals_min_propagation(spark):
     prop = {(r["node"], r["comp"]) for r in connected_components(df).collect()}
     star = {(r["node"], r["comp"]) for r in connected_components_star(df).collect()}
     assert prop == star and len(star) > 0
+
+
+def test_ivf_recall_monotonic_in_nprobe(spark):
+    """The nprobe recall/cost dial: recall@10 vs brute force must be
+    monotone in nprobe and EXACT at nprobe = K (probing every inverted list
+    IS the brute-force scan).  On these isotropic random embeddings
+    single-probe recall is structurally ≈ 1/K — the clustered-data regime
+    is where IVF pays; the invariants hold regardless."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    from entity_extractor_linker_api_v2_spark.sources import tables
+    emb = tables.load(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    idx = similarity.ivf_assign(emb).cache()
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, k=10).collect()}
+
+    def recall(nprobe):
+        got = {r["vec_id"] for r in
+               similarity.ivf_topk(emb, k=10, index=idx, nprobe=nprobe).collect()}
+        return len(exact & got) / 10
+
+    # centroids are ids ≡ 0 mod N_CENTROIDS -> n/16 lists; probe them all
+    r1, r4, rk = recall(1), recall(4), recall(10**6)
+    assert r1 <= r4 <= rk
+    assert rk == 1.0
