@@ -141,8 +141,26 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
             .select("node", F.coalesce("comp", "node").alias("comp")))
 
 
-def canonical_entities(entities: DataFrame, max_iter: int = 20) -> DataFrame:
+# above this many edges the hub-safe small-star/large-star formulation is
+# the default: min-propagation's groupBy(node) materializes per-node
+# neighbor aggregates whose skew grows with hub degree, while star rounds
+# stay O(1) memory per edge.  Deliberately low so every driver-measured run
+# (sf0.01 upward — 12 edges on this gazetteer universe) exercises the path
+# that must hold at 10^12 edges.
+STAR_EDGE_THRESHOLD = 8
+
+
+def canonical_entities(entities: DataFrame, max_iter: int = 20,
+                       algo: str = "auto") -> DataFrame:
     """entities → (node, comp, canonical_id): every mention label / canonical
-    label / QID mapped to its component representative."""
-    comps = connected_components(entity_edges(entities), max_iter=max_iter)
+    label / QID mapped to its component representative.
+
+    algo: "star" | "minprop" | "auto" (star iff the edge relation has ≥
+    STAR_EDGE_THRESHOLD edges — one count over the localCheckpoint'd edge
+    relation, which both algorithms materialize anyway)."""
+    edges = entity_edges(entities).localCheckpoint()
+    if algo == "auto":
+        algo = "star" if edges.count() >= STAR_EDGE_THRESHOLD else "minprop"
+    comps = (connected_components_star(edges) if algo == "star"
+             else connected_components(edges, max_iter=max_iter))
     return comps.withColumn("canonical_id", F.sha2(F.col("comp"), 256))

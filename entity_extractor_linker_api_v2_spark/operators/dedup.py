@@ -172,10 +172,18 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   threshold: float = 0.5) -> DataFrame:
     """Exact 3-word-shingle Jaccard on LSH candidates only."""
-    cands = lsh_candidate_pairs(df, id_col, text_col)
+    cands = lsh_candidate_pairs(df, id_col, text_col).persist()
+    # only docs that appear in a candidate pair ever contribute a shingle:
+    # semi-join the corpus down FIRST, so the exploded-distinct shingle
+    # relation (and its persist) is O(candidate docs), not O(corpus tokens) —
+    # at 100 TB the candidate set is orders of magnitude smaller than the
+    # corpus (most docs share no LSH bucket with anything)
+    need = (cands.select(F.col("a").alias(id_col))
+            .unionByName(cands.select(F.col("b").alias(id_col))).distinct())
     # the distinct shingle relation feeds three consumers (a-side, b-side,
     # sizes) — persist instead of recomputing the shingling each time
-    sh = (df.withColumn("_sh", _shingles(text_col))
+    sh = (df.join(need, id_col, "left_semi")
+          .withColumn("_sh", _shingles(text_col))
           .select(F.col(id_col), F.explode("_sh").alias("shingle")).distinct()
           .persist())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))

@@ -6,8 +6,11 @@
     baseline and the verifier for approximate variants.
   * lsh_buckets      — random-hyperplane (SimHash) bucketing: sign bits of
     dots with deterministic hyperplanes; ANN probes only matching buckets.
-  * embedding_near_dups — cosine near-duplicate pairs within LSH buckets
-    (the embedding-space analog of MinHash dedup).
+  * neardup_candidate_pairs / embedding_near_dups — cosine near-duplicate
+    pairs from MULTI-TABLE hyperplane LSH (the embedding-space analog of
+    MinHash band-LSH): `n_tables` independent hash tables of `bits`
+    hyperplane sign bits each, per-(table, bucket) membership capped, exact
+    cosine only on the candidate union.
 
 Query vector / hyperplanes are exact rationals (i*37%19-9)/10 so Spark and
 the DuckDB oracle compute identical doubles; scores are rounded before
@@ -155,17 +158,74 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     return assigned.select(id_col, "cluster")
 
 
+# Near-dup candidate generation: n_tables independent hash tables of `bits`
+# sign bits each.  The bucket count per table is 2^bits — at corpus size n,
+# pick bits ≈ log2(n / target_bucket_size) so the intra-bucket pair join
+# stays ~n·target per table instead of degrading toward n²/2^bits (the same
+# m² blowup the MinHash-LSH bucket cap guards against).  The cap bounds the
+# degenerate case (a 10^6-member boilerplate bucket) at cap² regardless.
+NEARDUP_TABLES = 2
+NEARDUP_BITS = 4
+NEARDUP_BUCKET_CAP = 64
+
+
+def neardup_plane(t: int, b: int, dim: int = DIM) -> list[float]:
+    """Hyperplane `b` of table `t` — exact rationals, and (unlike
+    ``hyperplane``'s mod-7 family, degenerate to a constant normal at
+    j+2 ≡ 0 mod 7) non-constant whenever 7t+b+2 is not a multiple of 19 —
+    the asserted case for every (t, b) the defaults can reach."""
+    m = 7 * t + b + 2
+    assert m % 19 != 0, "degenerate (constant-normal) plane index"
+    return [((i * m * 13 + t) % 19 - 9) / 10.0 for i in range(dim)]
+
+
+def neardup_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_tables: int = NEARDUP_TABLES,
+                            bits: int = NEARDUP_BITS,
+                            bucket_cap: int = NEARDUP_BUCKET_CAP) -> DataFrame:
+    """(a, b) pairs sharing a bucket in ≥1 of `n_tables` hyperplane tables.
+
+    One posexplode emits (id, table_id, bucket); the cap window shuffles on
+    the SAME (table_id, bucket) key as the pair self-join (one exchange
+    feeds both — mirrors dedup.lsh_candidate_pairs).  The pair relation is
+    ids only; vectors are joined back by the caller, so a hot bucket never
+    replicates embedding payloads."""
+    from pyspark.sql import Window
+
+    def bucket_str(t):
+        bs = [F.when(F.round(_dot(F.col(vec_col), neardup_plane(t, b)), 6) >= 0,
+                     F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+        return F.concat(*bs)
+
+    tb = df.select(F.col(id_col),
+                   F.posexplode(F.array(*[bucket_str(t) for t in range(n_tables)]))
+                   .alias("table_id", "bucket"))
+    if bucket_cap:
+        w = Window.partitionBy("table_id", "bucket").orderBy(id_col)
+        tb = (tb.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
+    l = tb.select(F.col(id_col).alias("a"), "table_id", "bucket")
+    r = tb.select(F.col(id_col).alias("b"), "table_id", "bucket")
+    return (l.join(r, ["table_id", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Pairs in the same hyperplane bucket with cosine ≥ threshold."""
-    b = lsh_buckets(df, id_col, vec_col)
-    v = df.select(F.col(id_col), F.col(vec_col)).join(b, id_col)
-    l = v.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    r = v.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_tables: int = NEARDUP_TABLES, bits: int = NEARDUP_BITS,
+                        bucket_cap: int = NEARDUP_BUCKET_CAP) -> DataFrame:
+    """Candidate pairs (multi-table capped LSH) with exact cosine ≥ threshold.
+    Exact scoring touches only O(candidates) vector pairs — the corpus-wide
+    relation is never pair-joined."""
+    cands = neardup_candidate_pairs(df, id_col, vec_col, n_tables, bits, bucket_cap)
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
                       F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+    return (cands.join(va, "a").join(vb, "b")
             .withColumn("cosine", F.round(cos, 3))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))

@@ -491,13 +491,37 @@ buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
 
 ORACLE["q29_ann_lsh_buckets"] = f"WITH {_BUCKET_CTES.strip()}\nSELECT vec_id, bucket FROM buckets"
 
+def _neardup_planes_cte() -> str:
+    from ..operators.similarity import (NEARDUP_BITS, NEARDUP_TABLES,
+                                        neardup_plane)
+    rows = []
+    for t in range(NEARDUP_TABLES):
+        for b in range(NEARDUP_BITS):
+            for i, v in enumerate(neardup_plane(t, b)):
+                rows.append(f"({t}, {b}, {i}, {v!r})")
+    return "nplanes(t, j, i, v) AS (VALUES " + ", ".join(rows) + ")"
+
+
+# multi-table capped LSH near-dups (mirrors similarity.neardup_candidate_pairs
+# + embedding_near_dups stage by stage)
 ORACLE["q30_embed_near_dups"] = f"""
-WITH {_BUCKET_CTES.strip()},
+WITH {_neardup_planes_cte()},
+ex AS (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS s
+       FROM embeddings),
+nbits AS (SELECT vec_id, p.t, p.j,
+                 CASE WHEN round(sum(CAST(e AS DOUBLE) * p.v), 6) >= 0
+                      THEN '1' ELSE '0' END AS bit
+          FROM ex JOIN nplanes p ON ex.s = p.i + 1 GROUP BY vec_id, p.t, p.j),
+nb0 AS (SELECT vec_id, t, string_agg(bit, '' ORDER BY j) AS bucket
+        FROM nbits GROUP BY vec_id, t),
+nbuckets AS (SELECT vec_id, t, bucket FROM nb0
+             QUALIFY row_number() OVER (PARTITION BY t, bucket
+                                        ORDER BY vec_id) <= 64),
 norms AS (SELECT vec_id, sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS nrm
           FROM ex GROUP BY vec_id),
-pairs AS (SELECT l.vec_id AS a, r.vec_id AS b
-          FROM buckets l JOIN buckets r
-            ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+pairs AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM nbuckets l JOIN nbuckets r
+            ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
 pd AS (SELECT p.a, p.b, sum(CAST(ea.e AS DOUBLE) * CAST(eb.e AS DOUBLE)) AS dot
        FROM pairs p
        JOIN ex ea ON ea.vec_id = p.a

@@ -159,6 +159,22 @@ def test_lsh_bucket_cap_bounds_pair_blowup(spark):
     assert dedup.lsh_candidate_pairs(docs, bucket_cap=0).count() == 100 * 99 // 2
 
 
+def test_neardup_bucket_cap_bounds_pair_blowup(spark):
+    """Embedding-LSH analog of the MinHash cap test: 100 identical vectors
+    land in the same bucket of EVERY hash table; uncapped that is C(100,2)
+    pairs per table (m² per boilerplate cluster), capped it is C(cap,2)
+    total (identical id-ordered cap in each table → same pair set, distinct
+    collapses the tables)."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    vecs = spark.range(100).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), i -> CAST(0.5 AS FLOAT)) AS embedding")
+    assert similarity.neardup_candidate_pairs(vecs, bucket_cap=8).count() == 8 * 7 // 2
+    assert similarity.neardup_candidate_pairs(vecs, bucket_cap=0).count() == 100 * 99 // 2
+    # and the exact-cosine verify keeps them all (cosine 1.0 ≥ 0.9)
+    assert similarity.embedding_near_dups(vecs, bucket_cap=8).count() == 8 * 7 // 2
+
+
 def test_variation_array_matches_refsem_on_tricky_names(spark):
     """Three-way casing agreement, Spark half: the probe-side
     _variation_array must equal refsem.name_variations (ordered, deduped,
