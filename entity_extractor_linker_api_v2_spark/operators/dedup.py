@@ -202,3 +202,37 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
+
+
+def curate_corpus(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  jaccard_threshold: float = 0.5) -> DataFrame:
+    """End-to-end training-data curation — the daily-driver chain:
+
+      1. quality gate  — textstats.quality_score keep flag (length/token
+         floors), pure codegen filter;
+      2. exact dedup   — keep the MIN id of every content-hash group
+         (32-byte shuffle keys; collapses template clusters before LSH);
+      3. near-dup pass — MinHash-LSH candidates + exact-Jaccard verify on
+         the survivors; every verified pair (a < b, jaccard ≥ threshold)
+         drops its larger id.
+
+    Each stage shrinks the corpus the next stage pays for — at 100 TB the
+    LSH stage runs on the exact-deduped survivors only.  Returns the kept
+    docs as (id, n_chars, n_tokens)."""
+    from . import textstats
+    q = textstats.quality_score(df, id_col, text_col)
+    kept = df.join(q.filter("keep").select(id_col), id_col, "left_semi")
+    from pyspark.sql import Window
+    w = Window.partitionBy("fp").orderBy(id_col)
+    keep_exact = (fingerprint(kept, id_col, text_col)
+                  .withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).select(id_col))
+    kept = kept.join(keep_exact, id_col, "left_semi")
+    drop = (jaccard_pairs(kept, id_col, text_col, threshold=jaccard_threshold)
+            .select(F.col("b").alias(id_col)).distinct())
+    return (kept.join(drop, id_col, "left_anti")
+            .select(F.col(id_col),
+                    F.length(text_col).cast("long").alias("n_chars"),
+                    F.size(F.split(F.col(text_col), " ")).cast("long")
+                    .alias("n_tokens")))

@@ -86,6 +86,32 @@ def linked_stats(entities: DataFrame) -> DataFrame:
     )
 
 
+def statistics_envelope(entities: DataFrame) -> DataFrame:
+    """The complete one-row Statistics envelope of the reference's response
+    model (app/api/v1/linker.py:104-124): total_entities,
+    total_relationships (emitted KG edges), qa_pairs (one per
+    extract-bearing entity, the /qa analog's cardinality — qa.py:224-233),
+    plus the linked counts/percentages.  Two aggregates (entities ×1,
+    triples ×1 — the triple relation explodes claim arrays so it cannot
+    fold into the entity agg) cross-joined; both sides are single rows."""
+    from . import triples as TR
+    wiki = F.when((F.col("url_de") != "") | (F.col("url_en") != ""), 1).otherwise(0)
+    wd = F.when(F.col("wikidata_id") != "", 1).otherwise(0)
+    ent = entities.agg(
+        F.count("*").alias("total_entities"),
+        F.sum(F.when(F.col("extract") != "", 1).otherwise(0)).alias("qa_pairs"),
+        F.sum(wiki).alias("linked_wikipedia"),
+        F.sum(wd).alias("linked_wikidata"),
+        F.round(F.sum(wiki) * 100.0 / F.count("*"), 4).alias("wikipedia_percent"),
+        F.round(F.sum(wd) * 100.0 / F.count("*"), 4).alias("wikidata_percent"))
+    rel = TR.emit_triples(entities).agg(
+        F.count("*").alias("total_relationships"))
+    return ent.crossJoin(rel).select(
+        "total_entities", "total_relationships", "qa_pairs",
+        "linked_wikipedia", "linked_wikidata",
+        "wikipedia_percent", "wikidata_percent")
+
+
 def extraction_stats(entities: DataFrame) -> DataFrame:
     """O-20 counters per document: extracted / pages fetched / linked."""
     return (entities.groupBy("url").agg(

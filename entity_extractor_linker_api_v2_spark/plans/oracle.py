@@ -246,8 +246,9 @@ SELECT url, label, type, CAST(mention_idx AS BIGINT) AS mention_idx,
        coalesce(array_to_string(internal_links, '|'), '') AS links_str
 FROM entities""")
 
-ORACLE["q12_triples"] = _full_chain("""
-SELECT url, subj, pred, obj FROM (
+# triple-emission union body — shared by q12 (the edge table) and q55 (the
+# envelope's total_relationships count)
+_TRIPLES_BODY = """
   SELECT url, label_de AS subj, 'instance_of' AS pred, type AS obj FROM entities
   UNION ALL
   SELECT url, label_de, 'same_as', wikidata_id FROM entities WHERE wikidata_id <> ''
@@ -264,7 +265,10 @@ SELECT url, subj, pred, obj FROM (
   UNION ALL
   SELECT url, label_de, 'located_at',
          CAST(geo_lat AS VARCHAR) || ',' || CAST(geo_lon AS VARCHAR)
-  FROM entities WHERE geo_lat IS NOT NULL AND geo_lon IS NOT NULL) t""")
+  FROM entities WHERE geo_lat IS NOT NULL AND geo_lon IS NOT NULL"""
+
+ORACLE["q12_triples"] = _full_chain(f"""
+SELECT url, subj, pred, obj FROM ({_TRIPLES_BODY}) t""")
 
 ORACLE["q13_nodes"] = _full_chain("""
 SELECT label_de AS subj, label_en, wikidata_id, dbpedia_uri, url_de, url_en,
@@ -343,26 +347,34 @@ ddn AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS no
         FROM dd)
 """
 
-_SHINGLE = """
-dws AS (SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
-        FROM dd),
-sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-       FROM dws, unnest(range(1, n - 1)) t(i) WHERE n >= 3),
-sig AS (SELECT doc_id, CAST(h.i AS INTEGER) AS sig_idx,
+def _lsh_chain(src: str, p: str = "") -> str:
+    """MinHash-LSH CTE chain (shingles → signatures → capped bands →
+    candidate pairs) over relation `src`, cte names prefixed with `p` so the
+    chain can appear twice in one statement (q24 over dd, q56 over the
+    curated survivors)."""
+    return f"""
+{p}dws AS (SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+        FROM {src}),
+{p}sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       FROM {p}dws, unnest(range(1, n - 1)) t(i) WHERE n >= 3),
+{p}sig AS (SELECT doc_id, CAST(h.i AS INTEGER) AS sig_idx,
                min(md5(CAST(h.i AS VARCHAR) || '|' || shingle)) AS minhash
-        FROM sh, unnest(range(0, 8)) h(i)
+        FROM {p}sh, unnest(range(0, 8)) h(i)
         GROUP BY doc_id, h.i),
-bands0 AS (SELECT doc_id, CAST(sig_idx // 2 AS INTEGER) AS band_id,
+{p}bands0 AS (SELECT doc_id, CAST(sig_idx // 2 AS INTEGER) AS band_id,
                   md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
-           FROM sig GROUP BY doc_id, sig_idx // 2),
-bands AS (SELECT doc_id, band_id, band_key FROM bands0
+           FROM {p}sig GROUP BY doc_id, sig_idx // 2),
+{p}bands AS (SELECT doc_id, band_id, band_key FROM {p}bands0
           QUALIFY row_number() OVER (PARTITION BY band_id, band_key
                                      ORDER BY doc_id) <= 64),
-lsh_pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-              FROM bands l JOIN bands r
+{p}lsh_pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM {p}bands l JOIN {p}bands r
                 ON l.band_id = r.band_id AND l.band_key = r.band_key
                AND l.doc_id < r.doc_id)
 """
+
+
+_SHINGLE = _lsh_chain("dd")
 
 
 def _dd_with(*chains: str, final: str) -> str:
@@ -783,6 +795,104 @@ SELECT vec_id, cluster FROM a2"""
 _CC_FINAL = """
 SELECT n AS node, min(m) AS comp, sha256(min(m)) AS canonical_id
 FROM reach GROUP BY n"""
+
+# ---------------------------------------------------------------------------
+# enrichment + envelope + curation (q52-q56)
+# ---------------------------------------------------------------------------
+
+
+def _probes_arr(vals: list[str]) -> str:
+    return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+
+
+def _q52_sql() -> str:
+    from ..refsem import DEFAULT_LEVELS
+    from .queries import LEVEL_PROBES
+    n = len(LEVEL_PROBES)
+    return f"""
+WITH {_levels_cte()},
+dp AS (SELECT doc_id, ({_probes_arr(LEVEL_PROBES)})[CAST(doc_id % {n} AS INTEGER) + 1]
+              AS provided
+       FROM documents),
+m AS (SELECT doc_id, level, level_idx,
+             CASE WHEN lower(level) = lower(provided) THEN 0
+                  WHEN strpos(lower(level), lower(provided)) > 0
+                    OR strpos(lower(provided), lower(level)) > 0 THEN 1
+             END AS mt
+      FROM dp CROSS JOIN levels),
+best AS (SELECT doc_id, level FROM m WHERE mt IS NOT NULL
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY mt, level_idx) = 1)
+SELECT dp.doc_id, dp.provided,
+       coalesce(b.level, '{DEFAULT_LEVELS[0]}') AS matched_level
+FROM dp LEFT JOIN best b ON dp.doc_id = b.doc_id"""
+
+
+ORACLE["q52_closest_level"] = _q52_sql()
+
+
+def _q53_sql() -> str:
+    from ..functions.generation import SIMPLE_SYNONYMS
+    from .queries import SYNONYM_PROBES
+    rows = ", ".join(f"('{w}', {i + 1}, '{s}')"
+                     for w, syns in SIMPLE_SYNONYMS.items()
+                     for i, s in enumerate(syns[:5]))
+    n = len(SYNONYM_PROBES)
+    return f"""
+WITH syn(word, syn_idx, synonym) AS (VALUES {rows}),
+w AS (SELECT doc_id, ({_probes_arr(SYNONYM_PROBES)})[CAST(doc_id % {n} AS INTEGER) + 1]
+             AS probe_word
+      FROM documents)
+SELECT w.doc_id, w.probe_word, s.syn_idx, s.synonym
+FROM w JOIN syn s ON w.probe_word = s.word"""
+
+
+ORACLE["q53_synonyms"] = _q53_sql()
+
+ORACLE["q54_translate"] = """
+SELECT doc_id,
+       CASE WHEN lang = 'de' THEN 'en' ELSE 'de' END AS target_lang,
+       '[' || CASE WHEN lang = 'de' THEN 'en' ELSE 'de' END
+           || ' translation of]: ' || substr(text, 1, 80) AS translated
+FROM documents"""
+
+ORACLE["q55_stats_envelope"] = _full_chain(f"""
+SELECT
+  (SELECT count(*) FROM entities) AS total_entities,
+  (SELECT count(*) FROM ({_TRIPLES_BODY}) t) AS total_relationships,
+  (SELECT count(*) FROM entities WHERE extract <> '') AS qa_pairs,
+  (SELECT CAST(sum(CASE WHEN url_de <> '' OR url_en <> '' THEN 1 ELSE 0 END) AS BIGINT)
+   FROM entities) AS linked_wikipedia,
+  (SELECT CAST(sum(CASE WHEN wikidata_id <> '' THEN 1 ELSE 0 END) AS BIGINT)
+   FROM entities) AS linked_wikidata,
+  (SELECT round(sum(CASE WHEN url_de <> '' OR url_en <> '' THEN 1 ELSE 0 END) * 100.0
+                / count(*), 4) FROM entities) AS wikipedia_percent,
+  (SELECT round(sum(CASE WHEN wikidata_id <> '' THEN 1 ELSE 0 END) * 100.0
+                / count(*), 4) FROM entities) AS wikidata_percent""")
+
+# curation chain: quality gate -> exact dedup (keep min id per content hash)
+# -> LSH+jaccard near-dup removal (drop larger id) over the survivors
+ORACLE["q56_curate"] = _dd_with(_DD, final=f"""
+SELECT doc_id, n_chars, n_tokens FROM (
+  WITH kq AS (SELECT doc_id, text FROM dd
+              WHERE len(string_split(text, ' ')) >= 10 AND length(text) >= 50),
+  kn AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         FROM kq),
+  ke AS (SELECT doc_id FROM kn
+         QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+  k2 AS (SELECT kq.doc_id, kq.text FROM kq JOIN ke USING (doc_id)),
+  {_lsh_chain('k2', 'c').strip().rstrip().rstrip(chr(10))},
+  cinter AS (SELECT p.a, p.b, count(*) AS inter FROM clsh_pairs p
+             JOIN (SELECT DISTINCT doc_id, shingle FROM csh) sa ON sa.doc_id = p.a
+             JOIN (SELECT DISTINCT doc_id, shingle FROM csh) sb
+               ON sb.doc_id = p.b AND sa.shingle = sb.shingle
+             GROUP BY p.a, p.b),
+  csz AS (SELECT doc_id, count(DISTINCT shingle) AS n FROM csh GROUP BY doc_id),
+  cdrop AS (SELECT DISTINCT i.b AS doc_id FROM cinter i
+            JOIN csz na ON na.doc_id = i.a JOIN csz nb ON nb.doc_id = i.b
+            WHERE round(i.inter * 1.0 / (na.n + nb.n - i.inter), 4) >= 0.5)
+  SELECT k2.doc_id, length(k2.text) AS n_chars,
+         len(string_split(k2.text, ' ')) AS n_tokens
+  FROM k2 ANTI JOIN cdrop ON k2.doc_id = cdrop.doc_id) t""")
 
 ORACLE["q19_canonicalize"] = (
     "WITH RECURSIVE "

@@ -561,6 +561,69 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "frame_id", F.length("payload").alias("n_bytes")))
 
 
+# deterministic requested-level strings exercising every closest_level
+# branch: exact, exact-lower, substring (p in level), substring (level in p),
+# no-match fallback, exact case-insensitive with umlaut
+LEVEL_PROBES = ["Hochschule", "sekundarstufe ii", "primar",
+                "die berufliche bildung im betrieb", "unbekannt",
+                "FÖRDERSCHULE"]
+
+
+def q_closest_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-42: closest-level match (ref qa.py:387-403) — broadcast levels
+    dimension + priority window (exact beats substring beats fallback)."""
+    from ..operators.enrich import closest_level_match
+    from ..refsem import DEFAULT_LEVELS
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(v) for v in LEVEL_PROBES]),
+                     (F.col("doc_id") % len(LEVEL_PROBES) + 1).cast("int"))
+        .alias("provided"))
+    return closest_level_match(d, "provided", DEFAULT_LEVELS)
+
+
+SYNONYM_PROBES = ["Berg", "hoch", "Tal"]  # Tal: not in dict -> [] (no rows)
+
+
+def q_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym expansion (ref utils.py:142-165 dict fallback) as a broadcast
+    dictionary explode-join."""
+    from ..operators.enrich import synonym_expand
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(v) for v in SYNONYM_PROBES]),
+                     (F.col("doc_id") % len(SYNONYM_PROBES) + 1).cast("int"))
+        .alias("probe_word"))
+    return synonym_expand(d, "probe_word").select(
+        "doc_id", "probe_word", "syn_idx", "synonym")
+
+
+def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation fallback template (ref utils.py:166-205) over the corpus:
+    target = the other language of the de/en pair."""
+    from ..operators.enrich import translate_column
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "de", F.lit("en")).otherwise(F.lit("de"))
+        .alias("target_lang"),
+        F.substring("text", 1, 80).alias("snippet"))
+    return translate_column(d, "snippet", F.col("target_lang")) \
+        .select("doc_id", "target_lang", "translated")
+
+
+def q_stats_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Statistics envelope (ref linker.py:104-124): entity,
+    relationship and QA-pair totals + linked percentages in one row."""
+    return S.statistics_envelope(_entities(spark, sf_dir))
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate → exact dedup (keep min id)
+    → LSH near-dup removal (drop larger id of each verified pair)."""
+    from ..operators import dedup
+    return dedup.curate_corpus(_dedup_corpus(spark, sf_dir))
+
+
 QUERIES = {
     "q01_docs_derive": q_docs_derive,
     "q02_clean_text": q_clean_text,
@@ -612,6 +675,11 @@ QUERIES = {
     "q49_ivf_assign": q_ivf_assign,
     "q50_ivf_topk": q_ivf_topk,
     "q51_kmeans": q_kmeans,
+    "q52_closest_level": q_closest_level,
+    "q53_synonyms": q_synonyms,
+    "q54_translate": q_translate,
+    "q55_stats_envelope": q_stats_envelope,
+    "q56_curate": q_curate,
 }
 
 # queries intentionally WITHOUT an oracle twin (non-SQL-expressible: stateful

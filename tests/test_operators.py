@@ -254,3 +254,57 @@ def test_ivf_recall_monotonic_in_nprobe(spark):
     r1, r4, rk = recall(1), recall(4), recall(10**6)
     assert r1 <= r4 <= rk
     assert rk == 1.0
+
+
+def test_closest_level_match_equals_refsem(spark):
+    """Spark closest-level (broadcast dim + priority window) must equal
+    refsem.closest_level on probes covering every branch: exact,
+    exact-case-insensitive (umlaut), substring both directions, fallback."""
+    from entity_extractor_linker_api_v2_spark import refsem
+    from entity_extractor_linker_api_v2_spark.operators.enrich import closest_level_match
+    from entity_extractor_linker_api_v2_spark.plans.queries import LEVEL_PROBES
+
+    df = spark.createDataFrame(list(enumerate(LEVEL_PROBES)),
+                               "doc_id long, provided string")
+    got = {r["provided"]: r["matched_level"]
+           for r in closest_level_match(df, "provided",
+                                        refsem.DEFAULT_LEVELS).collect()}
+    for p in LEVEL_PROBES:
+        assert got[p] == refsem.closest_level(p, refsem.DEFAULT_LEVELS), p
+
+
+def test_synonym_expand_equals_generator(spark):
+    """Broadcast-dict expansion must match DeterministicGenerator.synonyms
+    row-by-row: dict words expand in order, unknown words emit zero rows."""
+    from entity_extractor_linker_api_v2_spark.functions.generation import (
+        DeterministicGenerator)
+    from entity_extractor_linker_api_v2_spark.operators.enrich import synonym_expand
+
+    gen = DeterministicGenerator()
+    words = ["Berg", "hoch", "Tal", "Fluss"]
+    df = spark.createDataFrame(list(enumerate(words)), "doc_id long, w string")
+    rows = synonym_expand(df, "w").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["syn_idx"], r["synonym"]))
+    for i, w in enumerate(words):
+        expect = gen.synonyms(w)
+        assert [s for _, s in sorted(got.get(i, []))] == expect, w
+
+
+def test_curate_corpus_planted(spark):
+    """Planted corpus: the low-quality doc falls to the quality gate, the
+    exact clone to content-hash dedup, the near clone to the LSH+Jaccard
+    pass; the two distinct good docs survive."""
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("eins zwei drei vier fuenf sechs sieben acht neun zehn "
+             "elf zwoelf dreizehn vierzehn fuenfzehn sechzehn siebzehn "
+             "achtzehn neunzehn zwanzig")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " anhang"), (4, other), (5, "kurz")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup.curate_corpus(docs).collect())
+    assert kept == [1, 4]
