@@ -195,21 +195,27 @@ FROM (SELECT url, trim(regexp_replace(body_text, '\\s+', ' ', 'g')) AS t FROM do
 ORACLE["q03_mentions"] = _with(_MENTION_CHAIN, final="""
 SELECT url, surface, label, type, pos FROM raw_mentions""")
 
-ORACLE["q04_mentions_regex"] = _with(final=r"""
+def _q04_sql() -> str:
+    # same unicode-boundary emulation as the Spark side (queries.NER_PATTERNS
+    # over separator-DOUBLED text, entity = capture group 2, p1's doubled
+    # internal space collapsed back in the label)
+    from .queries import NER_DOUBLE_SEP, NER_PATTERNS
+    parts = " ||\n      ".join(
+        "list_transform(list_slice(regexp_extract_all(b2,\n"
+        f"        '{p}', 2), 1, 10),\n"
+        f"        x -> {{'label': replace(x, '  ', ' '), 'type': '{t}'}})"
+        for p, t in NER_PATTERNS)
+    return _with(final=f"""
 SELECT url, CAST(generate_subscripts(ents, 1) AS BIGINT) AS ent_idx,
        unnest(ents, recursive := true)
 FROM (
   SELECT url, list_slice(
-      list_transform(list_slice(regexp_extract_all(body_text,
-        '\b[A-ZÄÖÜ][a-zäöüß]+ [A-ZÄÖÜ][a-zäöüß]+\b'), 1, 10),
-        x -> {'label': x, 'type': 'PERSON'}) ||
-      list_transform(list_slice(regexp_extract_all(body_text,
-        '\b[A-ZÄÖÜ][a-zäöüß]+(?:stadt|berg|burg|dorf|heim)\b'), 1, 10),
-        x -> {'label': x, 'type': 'LOCATION'}) ||
-      list_transform(list_slice(regexp_extract_all(body_text,
-        '\b(?:Deutschland|Österreich|Schweiz|Berlin|München|Hamburg)\b'), 1, 10),
-        x -> {'label': x, 'type': 'LOCATION'}), 1, 10) AS ents
-  FROM docs) t""")
+      {parts}, 1, 10) AS ents
+  FROM (SELECT url, regexp_replace(body_text, '{NER_DOUBLE_SEP}', '\\1\\1', 'g') AS b2
+        FROM docs) d0) t""")
+
+
+ORACLE["q04_mentions_regex"] = _q04_sql()
 
 ORACLE["q05_mention_dedup_cap"] = _with(_MENTION_CHAIN, final="""
 SELECT url, label, type, pos, mention_idx FROM capped""")

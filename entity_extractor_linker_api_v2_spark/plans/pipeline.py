@@ -32,8 +32,18 @@ def split_stage(docs_with_text: DataFrame, threshold: int,
     semantics (pytest-asserted equivalence).  At 100 TB this bounds the
     Arrow batch row size — a 500 MB page cannot stall one python worker."""
     from pyspark.sql import functions as F
+
+    from .. import fixtures
+    # the docstring invariant, enforced: a mention spanning a chunk boundary
+    # is only recovered if the overlap covers the longest gazetteer surface —
+    # clamp rather than trust the caller (a future longer surface would
+    # otherwise silently drop boundary mentions)
+    longest = max(len(s) for s, _, _ in fixtures.GAZETTEER)
+    overlap = max(overlap, longest)
     step = threshold - overlap
-    assert step > 0
+    assert step > 0, (
+        f"split threshold {threshold} must exceed overlap {overlap} "
+        f"(clamped to the longest gazetteer surface, {longest} chars)")
     starts = F.when(
         F.length(text_col) > threshold,
         F.sequence(F.lit(0), F.length(text_col) - 1, F.lit(step))

@@ -83,26 +83,54 @@ def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _raw_mentions(spark, sf_dir).select("url", "surface", "label", "type", "pos")
 
 
+# Unicode word-boundary emulation (see q_mentions_regex): the text is first
+# transformed by DOUBLING every non-word char (\p{L}/\p{N}/_ is Python's
+# unicode \w), then boundaries are CONSUMED groups — string start or one
+# non-word char on each side; the entity is capture group 2.  Doubling makes
+# consumption harmless: adjacent matches sharing one separator ('Hansestadt
+# Hamburg') each get their own boundary char, so the emulation agrees with
+# Python's zero-width unicode \b exactly (pytest-asserted incl. this case).
+# Neither Java regex (Spark) nor RE2 (DuckDB) gives \b unicode semantics,
+# and RE2 has no lookaround to make boundaries zero-width directly.
+# Pattern 1's internal literal space is doubled too ('  ') and collapsed
+# back in the extracted label.
+_NER_B0 = r"(^|[^\p{L}\p{N}_])"
+_NER_B1 = r"(?:[^\p{L}\p{N}_]|$)"
+NER_DOUBLE_SEP = r"([^\p{L}\p{N}_])"    # replacement: $1$1 (Spark) / \1\1 (RE2)
+NER_PATTERNS = [
+    (_NER_B0 + r"([A-ZÄÖÜ][a-zäöüß]+  [A-ZÄÖÜ][a-zäöüß]+)" + _NER_B1, "PERSON"),
+    (_NER_B0 + r"([A-ZÄÖÜ][a-zäöüß]+(?:stadt|berg|burg|dorf|heim))" + _NER_B1,
+     "LOCATION"),
+    (_NER_B0 + r"(Deutschland|Österreich|Schweiz|Berlin|München|Hamburg)" + _NER_B1,
+     "LOCATION"),
+]
+
+
 def q_mentions_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-13: ALL THREE of the reference's fallback NER patterns
     (linker.py:225-239) with its caps — per-pattern ``matches[:max]`` then a
     global ``max`` in pattern order — fully JVM-side: one regexp_extract_all
-    per pattern, slice, concat in pattern order, slice again, one explode.
-    \\b is ASCII-word-boundary in both Java regex and DuckDB's RE2 (the two
-    compared engines agree); refsem.regex_ner (Python, unicode \\b) is the
-    unit-test truth table on the fixture corpus, where all three agree."""
+    per pattern over the separator-doubled text, slice, concat in pattern
+    order, slice again, one explode.
+
+    The reference's \\b is Python-unicode; Java and RE2 treat it as ASCII —
+    under which 'Österreich' can NEVER match (Ö is not an ASCII word char)
+    and ß-final words truncate ('Hans Weiß' → 'Hans Wei').  NER_PATTERNS +
+    separator doubling emulate the unicode boundary identically in both
+    compared engines AND equal to Python \\b (refsem.regex_ner is the
+    pytest truth table, including the Ö/ß cases and single-separator
+    adjacency)."""
     d = tables.docs_table(spark, sf_dir, with_html=False)
     cap = 10
-    pats = [(r"\b[A-ZÄÖÜ][a-zäöüß]+ [A-ZÄÖÜ][a-zäöüß]+\b", "PERSON"),
-            (r"\b[A-ZÄÖÜ][a-zäöüß]+(?:stadt|berg|burg|dorf|heim)\b", "LOCATION"),
-            (r"\b(?:Deutschland|Österreich|Schweiz|Berlin|München|Hamburg)\b", "LOCATION")]
     def _tagger(t):
-        return lambda m: F.struct(m.alias("label"), F.lit(t).alias("type"))
+        return lambda m: F.struct(
+            F.regexp_replace(m, "  ", " ").alias("label"), F.lit(t).alias("type"))
+    doubled = F.regexp_replace("body_text", NER_DOUBLE_SEP, r"$1$1")
     tagged = F.concat(*[
         F.transform(
-            F.slice(F.regexp_extract_all("body_text", F.lit(p), F.lit(0)), 1, cap),
+            F.slice(F.regexp_extract_all(doubled, F.lit(p), F.lit(2)), 1, cap),
             _tagger(t))
-        for p, t in pats])
+        for p, t in NER_PATTERNS])
     return (d.select("url", F.posexplode(F.slice(tagged, 1, cap)).alias("ent_idx0", "e"))
             .select("url", (F.col("ent_idx0") + 1).alias("ent_idx"),
                     F.col("e.label").alias("label"), F.col("e.type").alias("type")))

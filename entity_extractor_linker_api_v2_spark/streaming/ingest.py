@@ -99,7 +99,16 @@ def _sessionize_fn(key, pdfs, state):
             if n > 0:
                 out.append((user_id, sess_no, n, pd.Timestamp(start, unit="us")))
             sess_no, n, start = sess_no + 1, 0, t
-        n, last = n + 1, t
+        # `last`/`start` are monotone max/min: an out-of-order event from a
+        # LATER micro-batch (valid while above the watermark) joins the open
+        # session without dragging the gap anchor backwards — unguarded
+        # `last = t` would falsely split one session in two.  Disorder
+        # reaching back past an already-EMITTED session is unsupported
+        # (append mode cannot amend output); such events fold into the open
+        # session.
+        n += 1
+        last = t if last is None or t > last else last
+        start = t if t < start else start
     state.update((sess_no, n, last, start))
     # EVENT-time timeout (fires when the watermark passes last+gap): a
     # processing-time timeout would keep an availableNow run spinning

@@ -190,3 +190,44 @@ def test_html_roundtrip_byte_identical():
 def test_extract_text_empty():
     assert refsem.extract_text(None) == ""
     assert refsem.extract_text(b"") == ""
+
+
+def test_ner_unicode_boundary_emulation_matches_python(spark):
+    """The consumed-boundary-group emulation (queries.NER_PATTERNS, used by
+    Spark AND the DuckDB oracle) must agree with refsem.regex_ner (Python
+    unicode \\b) on the exact cases ASCII \\b gets wrong: leading Ö
+    ('Österreich' never matches under ASCII \\b) and ß-final words
+    (truncated to the last ASCII word char)."""
+    import pyspark.sql.functions as F
+
+    from entity_extractor_linker_api_v2_spark import refsem
+    from entity_extractor_linker_api_v2_spark.plans.queries import NER_PATTERNS
+
+    from entity_extractor_linker_api_v2_spark.plans.queries import NER_DOUBLE_SEP
+
+    texts = [
+        "Urlaub in Österreich und der Schweiz.",
+        "Hans Weiß besuchte Berlin.",
+        "Die Hansestadt Hamburg liegt in Deutschland.",
+        "Albert Einstein besuchte Berlin und München.",
+        "Österreich grenzt an Deutschland",
+        "Berlin München Hamburg",           # single-separator adjacency
+        "Anna Berta Carl Dora kamen an.",   # adjacent PERSON pairs
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, body_text string")
+    cap = 10
+
+    def _tagger(t):
+        return lambda m: F.struct(
+            F.regexp_replace(m, "  ", " ").alias("label"), F.lit(t).alias("type"))
+
+    doubled = F.regexp_replace("body_text", NER_DOUBLE_SEP, r"$1$1")
+    tagged = F.concat(*[
+        F.transform(
+            F.slice(F.regexp_extract_all(doubled, F.lit(p), F.lit(2)), 1, cap),
+            _tagger(t))
+        for p, t in NER_PATTERNS])
+    got = {r["i"]: [(e["label"], e["type"]) for e in r["ents"]]
+           for r in df.select("i", F.slice(tagged, 1, cap).alias("ents")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == refsem.regex_ner(t), (t, got[i], refsem.regex_ner(t))

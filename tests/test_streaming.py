@@ -94,3 +94,52 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
             for r in batch if r.session_no < last[r.user_id]}
     assert len(got) > 0
     assert got == want
+
+
+def test_sessionize_fn_cross_batch_disorder():
+    """An out-of-order event arriving in a LATER micro-batch (above the
+    watermark) must join the open session, not split it: `last` is monotone
+    max, `start` monotone min.  Driven directly through the update fn with a
+    fake GroupState (no stream needed)."""
+    import pandas as pd
+
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import _sessionize_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, _):
+            pass
+
+    def batch(*secs):
+        return [pd.DataFrame({"ts": pd.to_datetime(list(secs), unit="s")})]
+
+    st = FakeState()
+    # batch 1: events at t=1000s and t=1600s (one open session)
+    out1 = list(_sessionize_fn((7,), batch(1000, 1600), st))
+    assert sum(len(o) for o in out1) == 0
+    # batch 2: late event at t=1200s (< last=1600) plus t=1700s
+    out2 = list(_sessionize_fn((7,), batch(1700, 1200), st))
+    assert sum(len(o) for o in out2) == 0  # still ONE open session
+    sess_no, n, last_us, start_us = st.get
+    assert (sess_no, n) == (1, 4)
+    assert last_us == 1700 * 1_000_000      # not dragged back to 1200
+    assert start_us == 1000 * 1_000_000
+    # batch 3: t=4000s closes the session (gap > 1800s) -> emitted with all 4
+    out3 = pd.concat(list(_sessionize_fn((7,), batch(4000), st)))
+    assert len(out3) == 1 and int(out3.iloc[0]["n_events"]) == 4
