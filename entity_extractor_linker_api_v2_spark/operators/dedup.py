@@ -89,19 +89,35 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 
 def _shingles(text_col: str):
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    idx = F.when(n >= SHINGLE_W, F.sequence(F.lit(0), n - SHINGLE_W)) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(words, i + j + 1) for j in range(SHINGLE_W)]))
+    """3-word shingles as log-shifted zip_with concats.
+
+    NOT the obvious transform(sequence, i -> element_at(words, i+j)): there
+    the split() feeding element_at is re-inlined by CollapseProject into
+    every per-element lambda call — O(words²) chars per doc, measured 6.7 s
+    for 3k short docs at sf0.1.  zip_with evaluates its array arguments
+    once per ROW and pairs elements positionally, so this is O(words).
+    Out-of-range zip_with padding (null) is dropped by the final slice;
+    concat_ws skips nulls so padded entries never corrupt kept shingles."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    p2 = F.zip_with(w, F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    p3 = F.zip_with(p2, F.slice(w, 3, F.greatest(n - 2, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(p3, 1, F.greatest(n - (SHINGLE_W - 1), F.lit(0)))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(id, sig_idx 0..N-1, minhash): min over shingles of md5(i‖'|'‖shingle).
-    Pure array math per row — embarrassingly parallel, zero shuffle."""
-    d = df.withColumn("_sh", _shingles(text_col)).filter(F.size("_sh") > 0)
+    Pure array math per row — embarrassingly parallel, zero shuffle.
+    The explode(array(…)) is a Generate barrier (same as
+    winnow_fingerprints): it materializes the shingle array ONCE per row —
+    CollapseProject would otherwise re-inline the shingling into each of
+    the N_HASHES signature lambdas (measured 5.4 s → 3.5 s at sf0.1)."""
+    d = (df.select(F.col(id_col),
+                   F.explode(F.array(_shingles(text_col))).alias("_sh"))
+         .filter(F.size("_sh") > 0))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
         lambda i: F.array_min(F.transform(
@@ -172,20 +188,27 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   threshold: float = 0.5) -> DataFrame:
     """Exact 3-word-shingle Jaccard on LSH candidates only."""
-    cands = lsh_candidate_pairs(df, id_col, text_col).persist()
+    # EAGER localCheckpoint, not lazy persist: the candidate relation feeds
+    # THREE consumers (both sides of the doc-filter union + the
+    # intersection join).  A lazy persist lets parallel downstream stages
+    # race the cache fill and recompute the minhash chain (the corpus-wide
+    # 8×md5-per-shingle map — the most expensive step here) up to 3×:
+    # measured 21.8 s vs 12.4 s at sf0.1.  At cluster scale this boundary
+    # is a StageCheckpoint parquet snapshot instead.
+    cands = lsh_candidate_pairs(df, id_col, text_col).localCheckpoint()
     # only docs that appear in a candidate pair ever contribute a shingle:
-    # semi-join the corpus down FIRST, so the exploded-distinct shingle
-    # relation (and its persist) is O(candidate docs), not O(corpus tokens) —
-    # at 100 TB the candidate set is orders of magnitude smaller than the
-    # corpus (most docs share no LSH bucket with anything)
+    # semi-join the corpus down FIRST, so the materialized shingle relation
+    # is O(candidate docs), not O(corpus tokens) — at 100 TB the candidate
+    # set is orders of magnitude smaller than the corpus (most docs share
+    # no LSH bucket with anything)
     need = (cands.select(F.col("a").alias(id_col))
             .unionByName(cands.select(F.col("b").alias(id_col))).distinct())
     # the distinct shingle relation feeds three consumers (a-side, b-side,
-    # sizes) — persist instead of recomputing the shingling each time
+    # sizes) — same eager-materialization reasoning as cands
     sh = (df.join(need, id_col, "left_semi")
           .withColumn("_sh", _shingles(text_col))
           .select(F.col(id_col), F.explode("_sh").alias("shingle")).distinct()
-          .persist())
+          .localCheckpoint())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     # intersection size: shingle equality IN the join keys (hash join on
     # (b, shingle)) — leaving it as a filter above the join risks a
@@ -228,7 +251,12 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
     keep_exact = (fingerprint(kept, id_col, text_col)
                   .withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1).select(id_col))
-    kept = kept.join(keep_exact, id_col, "left_semi")
+    # each curation stage is a materialization boundary (localCheckpoint
+    # here; StageCheckpoint parquet at cluster scale): the exact-dedup
+    # survivors feed the LSH chain FOUR times (minhash, candidate
+    # semi-join, shingle sides) plus the final anti-join — recomputing the
+    # quality+window lineage per consumer cost 29.5 s vs 9 s at sf0.1
+    kept = kept.join(keep_exact, id_col, "left_semi").localCheckpoint()
     drop = (jaccard_pairs(kept, id_col, text_col, threshold=jaccard_threshold)
             .select(F.col("b").alias(id_col)).distinct())
     return (kept.join(drop, id_col, "left_anti")
