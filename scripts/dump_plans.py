@@ -84,11 +84,37 @@ def main() -> None:
         "```\n" + plan_of(QUERIES["q16_top10_all"](spark, SF)) + "```\n")
 
     sections.append(
-        "## Jaccard verify on LSH candidates (q24)\n\n"
-        "Check: the shingle-intersection join keys on (doc, shingle) — a\n"
-        "hash join, not a filtered cross product; shuffle keys are ids +\n"
-        "shingle strings, never documents.\n\n"
+        "## Jaccard verify on LSH candidates (q24, round-3 shape)\n\n"
+        "Check: the expensive relations — candidate pairs (corpus-wide\n"
+        "minhash chain) and the candidate-doc shingle relation — are eagerly\n"
+        "materialized (localCheckpoint → `Scan ExistingRDD`) exactly once;\n"
+        "the verify phase is pure broadcast hash joins + two small\n"
+        "aggregates.  The shingle relation is built from the SEMI-JOINED\n"
+        "candidate docs only (O(candidates), not O(corpus tokens)); the\n"
+        "shingle-intersection join keys on (doc, shingle) — a hash join,\n"
+        "never a filtered cross product.  At cluster scale these boundaries\n"
+        "are StageCheckpoint parquet snapshots; the plan shape is identical.\n\n"
         "```\n" + plan_of(QUERIES["q24_jaccard_pairs"](spark, SF)) + "```\n")
+
+    sections.append(
+        "## Curation chain (q56): quality → exact dedup → near-dup removal\n\n"
+        "Check: the final anti-join removes the larger id of every verified\n"
+        "near-dup pair from the exact-dedup survivors; the survivors are ONE\n"
+        "materialized relation (Scan ExistingRDD) feeding the LSH chain and\n"
+        "the anti-join probe side — no recomputation of the upstream\n"
+        "quality/window lineage per consumer.\n\n"
+        "```\n" + plan_of(QUERIES["q56_curate"](spark, SF)) + "```\n")
+
+    sections.append(
+        "## Embedding near-dups, multi-table capped LSH (q30, round-3 shape)\n\n"
+        "Check: one Generate (posexplode of per-table bucket strings) per\n"
+        "side; the per-(table, bucket) membership cap runs as\n"
+        "WindowGroupLimit partial + final sharing ONE Exchange on\n"
+        "(table_id, bucket) — the same key the pair self-join uses; exact\n"
+        "cosine happens only after the capped candidate join, via broadcast\n"
+        "joins back to the embedding scan (vectors never ride through the\n"
+        "bucket shuffle).\n\n"
+        "```\n" + plan_of(QUERIES["q30_embed_near_dups"](spark, SF)) + "```\n")
 
     sections.append(
         "## K-means centroid update (q51)\n\n"
