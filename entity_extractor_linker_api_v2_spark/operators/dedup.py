@@ -185,6 +185,45 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(F.col(id_col), bits.alias("simhash"))
 
 
+SIMHASH_BANDS = 4   # 32 bits -> 4 bands of 8; Hamming<=3 ==> >=1 band equal
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3,
+                      bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Hamming-close pairs via simhash bit-band buckets.
+
+    Pigeonhole: a pair with Hamming distance ≤ SIMHASH_BANDS-1 agrees on at
+    least one of the SIMHASH_BANDS bit-band substrings, so the band join is
+    a lossless candidate generator for max_hamming ≤ 3; exact Hamming
+    (XOR + bit_count on the 32-bit value) verifies.  Same scale shape as
+    MinHash-LSH: shuffle on (band_id, band_key) only, membership cap per
+    bucket, pair relation is ids before the verify join-back."""
+    from pyspark.sql import Window
+    sh = simhash(df, id_col, text_col)
+    bands = sh.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.substring("simhash", 1 + 8 * b, 8)
+                               for b in range(SIMHASH_BANDS)]))
+        .alias("band_id", "band_key"))
+    if bucket_cap:
+        w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
+        bands = (bands.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
+    l = bands.select(F.col(id_col).alias("a"), "band_id", "band_key")
+    r = bands.select(F.col(id_col).alias("b"), "band_id", "band_key")
+    cands = (l.join(r, ["band_id", "band_key"])
+             .filter(F.col("a") < F.col("b")).select("a", "b").distinct())
+    sa = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.conv("sim_a", 2, 10).cast("long")
+                      .bitwiseXOR(F.conv("sim_b", 2, 10).cast("long")))
+    return (cands.join(sa, "a").join(sb, "b")
+            .withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   threshold: float = 0.5) -> DataFrame:
     """Exact 3-word-shingle Jaccard on LSH candidates only."""

@@ -683,18 +683,49 @@ FROM built""")
 
 ORACLE["q44_kb_build"] = _kb_build_sql()
 
-ORACLE["q46_simhash"] = _dd_with(_DD, final="""
-SELECT doc_id,
-       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS simhash
-FROM (
-  SELECT doc_id, b.i AS b,
-         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM (SELECT doc_id,
-               ('0x' || substr(md5(unnest(string_split(lower(text), ' '))), 1, 8))::BIGINT AS h
-        FROM dd) wh,
-       unnest(range(0, 32)) b(i)
-  GROUP BY doc_id, b.i) votes
-GROUP BY doc_id""")
+# simhash CTE shared by q46 (the fingerprint itself) and q57 (Hamming-band
+# near-dup pairs)
+_SIMHASH_CTE = """
+sims AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS simhash
+  FROM (
+    SELECT doc_id, b.i AS b,
+           sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(unnest(string_split(lower(text), ' '))), 1, 8))::BIGINT AS h
+          FROM dd) wh,
+         unnest(range(0, 32)) b(i)
+    GROUP BY doc_id, b.i) votes
+  GROUP BY doc_id)
+"""
+
+ORACLE["q46_simhash"] = _dd_with(_DD, _SIMHASH_CTE, final="""
+SELECT doc_id, simhash FROM sims""")
+
+# Hamming-band near-dups: 4×8-bit band buckets (capped) -> candidate pairs
+# -> exact per-position Hamming verify (mirrors dedup.simhash_near_dups)
+ORACLE["q57_simhash_near_dups"] = _dd_with(_DD, _SIMHASH_CTE, """
+sbands0 AS (SELECT doc_id, CAST(b.i AS INTEGER) AS band_id,
+                   substr(simhash, CAST(1 + 8 * b.i AS INTEGER), 8) AS band_key
+            FROM sims, unnest(range(0, 4)) b(i)),
+sbands AS (SELECT doc_id, band_id, band_key FROM sbands0
+           QUALIFY row_number() OVER (PARTITION BY band_id, band_key
+                                      ORDER BY doc_id) <= 64),
+spairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM sbands l JOIN sbands r
+             ON l.band_id = r.band_id AND l.band_key = r.band_key
+            AND l.doc_id < r.doc_id)
+""", final="""
+SELECT a, b, hamming FROM (
+  SELECT p.a, p.b,
+         len(list_filter(range(1, 33),
+             i -> substr(sa.simhash, CAST(i AS INTEGER), 1)
+               <> substr(sb.simhash, CAST(i AS INTEGER), 1))) AS hamming
+  FROM spairs p
+  JOIN sims sa ON sa.doc_id = p.a
+  JOIN sims sb ON sb.doc_id = p.b) t
+WHERE hamming <= 3""")
 
 ORACLE["q47_compendium"] = _full_chain("""
 SELECT t.url,

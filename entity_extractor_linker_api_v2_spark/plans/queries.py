@@ -652,6 +652,13 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.curate_corpus(_dedup_corpus(spark, sf_dir))
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-close pairs via simhash bit-band buckets (pigeonhole-lossless
+    for Hamming ≤ 3) + exact XOR/bit_count verify."""
+    from ..operators import dedup
+    return dedup.simhash_near_dups(_dedup_corpus(spark, sf_dir))
+
+
 QUERIES = {
     "q01_docs_derive": q_docs_derive,
     "q02_clean_text": q_clean_text,
@@ -708,6 +715,7 @@ QUERIES = {
     "q54_translate": q_translate,
     "q55_stats_envelope": q_stats_envelope,
     "q56_curate": q_curate,
+    "q57_simhash_near_dups": q_simhash_near_dups,
 }
 
 # queries intentionally WITHOUT an oracle twin (non-SQL-expressible: stateful

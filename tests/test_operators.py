@@ -308,3 +308,27 @@ def test_curate_corpus_planted(spark):
         "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in dedup.curate_corpus(docs).collect())
     assert kept == [1, 4]
+
+
+def test_simhash_near_dups_lossless_vs_brute_force(spark):
+    """Pigeonhole check: the band-bucket candidate generator must recover
+    EVERY pair with Hamming <= 3 (4 bands of 8 bits) — compare against the
+    brute-force all-pairs Hamming on a small mixed corpus (identical docs,
+    one-word edits, unrelated docs)."""
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(1, base), (2, base),                      # identical -> hamming 0
+            (3, base + " extra"),                      # near
+            (4, base.replace("gamma", "uno")),         # near
+            (5, "voellig andere woerter hier drin nun ja doch sehr")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    brute = {(a, b): sum(x != y for x, y in zip(sh[a], sh[b]))
+             for a in sh for b in sh if a < b}
+    expect = {(a, b, h) for (a, b), h in brute.items() if h <= 3}
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in dedup.simhash_near_dups(df).collect()}
+    assert got == expect
+    assert (1, 2, 0) in got
