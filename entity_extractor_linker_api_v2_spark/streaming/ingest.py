@@ -65,6 +65,21 @@ def windowed_entity_counts(entities_with_ts: DataFrame,
             .agg(F.count("*").alias("cnt")))
 
 
+def dedup_stream(docs: DataFrame, watermark: str = "2 hours",
+                 ts_col: str = "warc_ts", text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: first-seen wins per content fingerprint
+    within the watermark horizon (dropDuplicatesWithinWatermark) — the
+    incremental twin of dedup.exact_dedup_groups/fingerprint.  State is one
+    32-byte fingerprint per distinct doc and is EVICTED once the watermark
+    passes, so state size is bounded by the dedup horizon, not the stream
+    history — the property that makes exact dedup viable on an unbounded
+    crawl feed (cross-horizon dups are the batch job's work)."""
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+    return (docs.withColumn("fp", fp)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["fp"]))
+
+
 SESSION_GAP_SEC = 1800
 _SESSION_OUT = ("user_id bigint, session_no int, n_events int, "
                 "session_start timestamp")

@@ -143,3 +143,28 @@ def test_sessionize_fn_cross_batch_disorder():
     # batch 3: t=4000s closes the session (gap > 1800s) -> emitted with all 4
     out3 = pd.concat(list(_sessionize_fn((7,), batch(4000), st)))
     assert len(out3) == 1 and int(out3.iloc[0]["n_events"]) == 4
+
+
+def test_dedup_stream_drops_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates inside the watermark horizon are
+    dropped (first-seen wins), distinct docs all pass; result equals the
+    batch distinct-fingerprint count."""
+    import pyspark.sql.functions as F
+
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import (
+        dedup_stream, stream_docs)
+
+    docs_dir, out_dir, ck_dir = (str(tmp_path / d) for d in ("docs", "out", "ck"))
+    base = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(100)
+    dups = base.limit(30).withColumn("doc_id", F.col("doc_id") + 700000)
+    base.unionByName(dups).write.parquet(docs_dir)
+
+    q = (dedup_stream(stream_docs(spark, docs_dir))
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 100                       # 30 dups dropped
+    assert got.select("fp").distinct().count() == 100
