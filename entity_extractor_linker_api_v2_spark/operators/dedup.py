@@ -107,21 +107,35 @@ def _shingles(text_col: str):
     return F.slice(p3, 1, F.greatest(n - (SHINGLE_W - 1), F.lit(0)))
 
 
+# universal-hash family for minhash: h_i(s) = (A_i·base(s) + B_i) mod P with
+# base(s) = first 8 md5 hex chars of the shingle as a 32-bit int.  ONE md5
+# per shingle instead of N_HASHES (md5 dominates the minhash cost — measured
+# 2.8 s → 1.1 s for q22 at sf0.1); A_i odd, B_i spread, P prime > 2^32, all
+# products < 2^63 so the arithmetic is exact BIGINT in Spark AND DuckDB
+# (bit-identical replay).
+MINHASH_P = 4294967311          # smallest prime > 2^32
+MINHASH_A = [2 * i + 1 for i in range(N_HASHES)]
+MINHASH_B = [(i * 2654435761) % MINHASH_P for i in range(N_HASHES)]
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """(id, sig_idx 0..N-1, minhash): min over shingles of md5(i‖'|'‖shingle).
-    Pure array math per row — embarrassingly parallel, zero shuffle.
+    """(id, sig_idx 0..N-1, minhash): min over shingles of the i-th
+    universal hash of the shingle's base hash.  Pure array math per row —
+    embarrassingly parallel, zero shuffle.
     The explode(array(…)) is a Generate barrier (same as
-    winnow_fingerprints): it materializes the shingle array ONCE per row —
-    CollapseProject would otherwise re-inline the shingling into each of
-    the N_HASHES signature lambdas (measured 5.4 s → 3.5 s at sf0.1)."""
-    d = (df.select(F.col(id_col),
-                   F.explode(F.array(_shingles(text_col))).alias("_sh"))
-         .filter(F.size("_sh") > 0))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(F.transform(
-            "_sh", lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))))
+    winnow_fingerprints): it materializes the base-hash array ONCE per
+    row — CollapseProject would otherwise re-inline the shingling + md5
+    into each of the N_HASHES signature lambdas."""
+    base = F.transform(
+        _shingles(text_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    d = (df.select(F.col(id_col), F.explode(F.array(base)).alias("_bh"))
+         .filter(F.size("_bh") > 0))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            "_bh", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
+        for a, b in zip(MINHASH_A, MINHASH_B)])
     return (d.select(F.col(id_col), F.posexplode(sig).alias("sig_idx", "minhash")))
 
 
@@ -146,8 +160,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     sig = minhash_signatures(df, id_col, text_col)
     bands = (sig.withColumn("band_id", (F.col("sig_idx") / BAND_ROWS).cast("int"))
              .groupBy(id_col, "band_id")
-             .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))))
-                  .alias("band_key")))
+             .agg(F.md5(F.concat_ws("|", F.transform(
+                 F.sort_array(F.collect_list("minhash")),
+                 lambda x: x.cast("string")))).alias("band_key")))
     if bucket_cap:
         w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
         bands = (bands.withColumn("_rn", F.row_number().over(w))

@@ -354,21 +354,29 @@ ddn AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS no
 """
 
 def _lsh_chain(src: str, p: str = "") -> str:
-    """MinHash-LSH CTE chain (shingles → signatures → capped bands →
-    candidate pairs) over relation `src`, cte names prefixed with `p` so the
-    chain can appear twice in one statement (q24 over dd, q56 over the
-    curated survivors)."""
+    """MinHash-LSH CTE chain (shingles → base hash → universal-hash
+    signatures → capped bands → candidate pairs) over relation `src`, cte
+    names prefixed with `p` so the chain can appear twice in one statement
+    (q24 over dd, q56 over the curated survivors).  Mirrors
+    dedup.minhash_signatures: one md5 per shingle, h_i = (A_i·bh + B_i)
+    mod P in exact BIGINT arithmetic."""
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P, N_HASHES
+    a_arr = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+    b_arr = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
     return f"""
 {p}dws AS (SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
         FROM {src}),
 {p}sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
        FROM {p}dws, unnest(range(1, n - 1)) t(i) WHERE n >= 3),
+{p}shb AS (SELECT doc_id, shingle,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS bh
+        FROM {p}sh),
 {p}sig AS (SELECT doc_id, CAST(h.i AS INTEGER) AS sig_idx,
-               min(md5(CAST(h.i AS VARCHAR) || '|' || shingle)) AS minhash
-        FROM {p}sh, unnest(range(0, 8)) h(i)
+               min((({a_arr})[h.i + 1] * bh + ({b_arr})[h.i + 1]) % {MINHASH_P}) AS minhash
+        FROM {p}shb, unnest(range(0, {N_HASHES})) h(i)
         GROUP BY doc_id, h.i),
 {p}bands0 AS (SELECT doc_id, CAST(sig_idx // 2 AS INTEGER) AS band_id,
-                  md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+                  md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash)) AS band_key
            FROM {p}sig GROUP BY doc_id, sig_idx // 2),
 {p}bands AS (SELECT doc_id, band_id, band_key FROM {p}bands0
           QUALIFY row_number() OVER (PARTITION BY band_id, band_key
