@@ -66,15 +66,24 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
 N_CENTROIDS = 16
 
 
+def default_centroids(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse centroids: the vectors whose id ≡ 0 mod
+    N_CENTROIDS, as (centroid_id, cvec)."""
+    return (df.filter((F.col(id_col) % N_CENTROIDS) == 0)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")))
+
+
 def ivf_assign(df: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantization: centroids are the vectors whose id ≡ 0 mod
-    ceil(n/K) (deterministic, data-derived — a k-means step would slot in
-    here unchanged); every vector is assigned to its max-dot centroid.
-    At scale the inverted lists partition the index so a query probes ~n/K
-    vectors instead of n."""
-    c = (df.filter((F.col(id_col) % N_CENTROIDS) == 0)
-         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")))
+               vec_col: str = "embedding",
+               centroids: DataFrame | None = None) -> DataFrame:
+    """IVF coarse quantization: every vector is assigned to its max-dot
+    centroid.  `centroids` is any (centroid_id, cvec) relation —
+    ``default_centroids`` (deterministic, the oracle-compared path) or
+    ``kmeans_centroids`` (trained; composition pytest-asserted) slot in
+    unchanged.  At scale the inverted lists partition the index so a query
+    probes ~n/K vectors instead of n."""
+    c = centroids if centroids is not None else default_centroids(df, id_col, vec_col)
     dot = F.aggregate(F.zip_with(vec_col, "cvec",
                                  lambda a, b: a.cast("double") * b.cast("double")),
                       F.lit(0.0), lambda acc, x: acc + x)
@@ -88,7 +97,8 @@ def ivf_assign(df: DataFrame, id_col: str = "vec_id",
 
 def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             index: DataFrame | None = None, nprobe: int = 1) -> DataFrame:
+             index: DataFrame | None = None, nprobe: int = 1,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF search: rank the query vector's centroids by dot, probe the
     `nprobe` best inverted lists, exact cosine inside them.
 
@@ -104,9 +114,10 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
     import math
     q = query_vector()
     qn = math.sqrt(sum(x * x for x in q))
-    assign = index if index is not None else ivf_assign(df, id_col, vec_col)
-    cents = (df.filter((F.col(id_col) % N_CENTROIDS) == 0)
-             .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")))
+    cents = centroids if centroids is not None \
+        else default_centroids(df, id_col, vec_col)
+    assign = index if index is not None \
+        else ivf_assign(df, id_col, vec_col, centroids=cents)
     best_c = (cents.withColumn("_qd", _dot(F.col("cvec"), q))
               .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
               .select("centroid_id"))
@@ -130,6 +141,21 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     a fixed iteration count make it exactly reproducible — the DuckDB oracle
     unrolls the same two iterations.
     """
+    assigned, _ = _kmeans(df, k, iters, id_col, vec_col)
+    return assigned.select(id_col, "cluster")
+
+
+def kmeans_centroids(df: DataFrame, k: int = 8, iters: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Trained centroids as (centroid_id, cvec) — drops into
+    ivf_assign/ivf_topk unchanged (the composition the IVF docstrings
+    promise; pytest-asserted)."""
+    _, cents = _kmeans(df, k, iters, id_col, vec_col)
+    return cents.select(F.col("cluster").alias("centroid_id"), "cvec")
+
+
+def _kmeans(df: DataFrame, k: int, iters: int, id_col: str, vec_col: str):
     def dist2(vec, cvec):
         return F.aggregate(F.zip_with(vec, cvec,
                                       lambda a, b: (a.cast("double") - b) *
@@ -155,7 +181,7 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
                         .alias(f"_m{i}") for i in range(DIM)])
                  .select("cluster",
                          F.array(*[F.col(f"_m{i}") for i in range(DIM)]).alias("cvec")))
-    return assigned.select(id_col, "cluster")
+    return assigned, cents
 
 
 # Near-dup candidate generation: n_tables independent hash tables of `bits`

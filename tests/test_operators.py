@@ -332,3 +332,23 @@ def test_simhash_near_dups_lossless_vs_brute_force(spark):
            for r in dedup.simhash_near_dups(df).collect()}
     assert got == expect
     assert (1, 2, 0) in got
+
+
+def test_ivf_with_trained_kmeans_centroids(spark):
+    """The composition the IVF docstrings promise: k-means-trained centroids
+    drop into ivf_assign/ivf_topk unchanged.  Probing every trained inverted
+    list must equal brute force; the assignment must be total over the
+    trained centroid ids."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    from entity_extractor_linker_api_v2_spark.sources import tables
+
+    emb = tables.load(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    cents = similarity.kmeans_centroids(emb, k=8).cache()
+    got = similarity.ivf_topk(emb, k=10, centroids=cents, nprobe=10**6).collect()
+    exact = similarity.brute_force_topk(emb, k=10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+    a = similarity.ivf_assign(emb, centroids=cents)
+    assert a.count() == emb.count()
+    ids = {r["centroid_id"] for r in a.select("centroid_id").distinct().collect()}
+    assert ids <= set(range(8)) and ids
