@@ -47,10 +47,24 @@ def _capped_fused(spark, sf_dir):
     return extract_and_detect(docs, dedup=True)
 
 
+# Session-scoped entity-table cache: nine registry queries consume the same
+# linked-entity relation; in one SparkSession (the driver runs all queries in
+# one) the relation is built and persisted ONCE — the in-session analog of
+# the StageCheckpoint boundary a production run would materialize it at.
+# Keyed by (session id, sf_dir); a fresh session just rebuilds.  Results are
+# identical either way (persist caches, it never changes semantics).
+_ENTITY_CACHE: dict = {}
+
+
 def _entities(spark, sf_dir):
-    # persist the mention table: it feeds both the probe-key distinct and the
-    # join-back (avoids re-running the pandas-UDF extraction chain twice)
-    return linking.link_mentions(spark, _capped_fused(spark, sf_dir).persist())
+    key = (id(spark), sf_dir)
+    if key not in _ENTITY_CACHE:
+        # persist the mention table: it feeds both the probe-key distinct
+        # and the join-back (avoids re-running the pandas-UDF extraction
+        # chain twice); persist the entity table for the nine consumers
+        _ENTITY_CACHE[key] = linking.link_mentions(
+            spark, _capped_fused(spark, sf_dir).persist()).persist()
+    return _ENTITY_CACHE[key]
 
 
 def _arr_str(col):
