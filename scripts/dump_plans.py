@@ -47,7 +47,10 @@ def main() -> None:
     sections.append(
         "## Linking (open-vocabulary relational path, q11)\n\n"
         "Check: every dimension join is BroadcastHashJoin; the only wide ops\n"
-        "are the distinct on (label, lang) keys and the first-hit window.\n\n"
+        "are the distinct on (label, lang) keys and the first-hit window.\n"
+        "The InMemoryRelation wrapper is the session-scoped entity cache\n"
+        "(built once, consumed by the nine entity-chain queries); the\n"
+        "cached plan inside it is the one audited here.\n\n"
         "```\n" + plan_of(QUERIES["q11_entities"](spark, SF)) + "```\n")
 
     sections.append(
