@@ -128,3 +128,51 @@ def test_duckdb_title_emulation_matches_python_title(w):
         "SELECT " + _TITLE.format(x="x") + " FROM (VALUES (?)) t(x)",
         params=[w]).fetchone()[0]
     assert got == w.title(), (w, got, w.title())
+
+
+@given(st.text(alphabet="abcdefghij ÄÖÜäöüß", min_size=0, max_size=40))
+@settings(max_examples=300)
+def test_closest_level_always_valid_and_ordered(s):
+    """closest_level returns a member of `valid` for ANY input; exact match
+    (case-insensitive) always beats substring; empty/garbage falls back to
+    valid[0]."""
+    from entity_extractor_linker_api_v2_spark import refsem
+    levels = refsem.DEFAULT_LEVELS
+    got = refsem.closest_level(s, levels)
+    assert got in levels
+    for lvl in levels:
+        if lvl.lower() == s.lower():
+            assert got == lvl
+            break
+
+
+@given(st.lists(st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+    min_size=0, max_size=30))
+@settings(max_examples=200)
+def test_universal_minhash_mix_is_permutation_consistent(words):
+    """The universal-hash family must rank identical shingle sets
+    identically: the python twin of (A_i·h+B_i) mod P over the base hashes
+    is order-insensitive and equal for equal sets — the property the LSH
+    band equality relies on."""
+    import hashlib
+
+    from entity_extractor_linker_api_v2_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_P, SHINGLE_W)
+
+    text = " ".join(words)
+    ws = text.split(" ")
+    shingles = {" ".join(ws[i:i + SHINGLE_W])
+                for i in range(len(ws) - SHINGLE_W + 1)} if len(ws) >= SHINGLE_W else set()
+    if not shingles:
+        return
+
+    def base(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    sig1 = [min((a * base(s) + b) % MINHASH_P for s in shingles)
+            for a, b in zip(MINHASH_A, MINHASH_B)]
+    sig2 = [min((a * base(s) + b) % MINHASH_P for s in sorted(shingles))
+            for a, b in zip(MINHASH_A, MINHASH_B)]
+    assert sig1 == sig2
+    assert all(0 <= v < MINHASH_P for v in sig1)
