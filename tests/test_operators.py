@@ -352,3 +352,31 @@ def test_ivf_with_trained_kmeans_centroids(spark):
     assert a.count() == emb.count()
     ids = {r["centroid_id"] for r in a.select("centroid_id").distinct().collect()}
     assert ids <= set(range(8)) and ids
+
+
+def test_merge_components_equals_full_recompute(spark):
+    """Incremental CC (delta-merge of a new edge batch into an existing
+    partition) must equal the full recompute over the union of both edge
+    batches — including min-member comp labels and singleton carry-through."""
+    import random
+
+    from entity_extractor_linker_api_v2_spark.operators.canonicalize import (
+        connected_components_star, merge_components)
+
+    rng = random.Random(7)
+    all_edges = [(f"n{rng.randrange(60):02d}", f"n{rng.randrange(60):02d}")
+                 for _ in range(80)]
+    all_edges = [(a, b) for a, b in all_edges if a != b]
+    batch1, batch2 = all_edges[:40], all_edges[40:]
+    # an isolated singleton known only to the old partition
+    e1 = spark.createDataFrame(batch1, "a string, b string")
+    e2 = spark.createDataFrame(batch2, "a string, b string")
+    comps1 = connected_components_star(e1).unionByName(
+        spark.createDataFrame([("loner", "loner")], "node string, comp string"))
+
+    incr = {(r["node"], r["comp"])
+            for r in merge_components(comps1, e2).collect()}
+    full = {(r["node"], r["comp"])
+            for r in connected_components_star(
+                e1.unionByName(e2)).collect()}
+    assert incr == full | {("loner", "loner")}
