@@ -842,6 +842,32 @@ SELECT n AS node, min(m) AS comp, sha256(min(m)) AS canonical_id
 FROM reach GROUP BY n"""
 
 # ---------------------------------------------------------------------------
+# multimodal (q40/q41): the synthetic payload generator is deterministic in
+# media_id (multimodal.synth_media: header w/h/frames + 64 bytes of i%251),
+# so the oracle derives the DECODED features independently from the
+# generator formulas — validating the binary encode → mapInPandas decode
+# plumbing end-to-end.  The NotImplementedError seam for real codecs is
+# unchanged; only the deterministic stub path is oracle-compared.
+# ---------------------------------------------------------------------------
+
+ORACLE["q40_media_features"] = """
+SELECT CAST(i AS BIGINT) AS media_id,
+       (['image', 'audio', 'video'])[i % 3 + 1] AS kind,
+       CAST(16 + (i % 8) * 16 AS INTEGER) AS width,
+       CAST(16 + (i % 5) * 16 AS INTEGER) AS height,
+       CAST(1 + (i % 4) AS INTEGER) AS n_frames,
+       CAST(80 AS INTEGER) AS n_bytes,
+       round(CAST(i % 251 AS DOUBLE), 4) AS byte_mean
+FROM range(0, 256) t(i)"""
+
+ORACLE["q41_frame_sample"] = """
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(f.f AS INTEGER) AS frame_id,
+       CAST(80 AS INTEGER) AS n_bytes
+FROM range(0, 256) t(i), unnest(range(0, 1 + (i % 4), 2)) f(f)
+WHERE i % 3 = 2"""
+
+# ---------------------------------------------------------------------------
 # enrichment + envelope + curation (q52-q56)
 # ---------------------------------------------------------------------------
 

@@ -732,6 +732,8 @@ QUERIES = {
     "q57_simhash_near_dups": q_simhash_near_dups,
 }
 
-# queries intentionally WITHOUT an oracle twin (non-SQL-expressible: stateful
-# python chunker / binary payload decode); driver records rows-only checks.
-ROWS_ONLY = {"q38_split_sentences", "q40_media_features", "q41_frame_sample"}
+# queries intentionally WITHOUT an oracle twin (non-SQL-expressible: the
+# stateful python chunker); driver records a rows-only check.  q40/q41
+# gained oracles in round 3 — the deterministic stub decoder's output is
+# independently derivable from the synth_media generator formulas.
+ROWS_ONLY = {"q38_split_sentences"}
