@@ -984,3 +984,6 @@ reach(n, m) AS (
   UNION
   SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a)
 """ + _CC_FINAL)
+
+# incremental canonicalization must equal the full recompute: same oracle
+ORACLE["q58_canonicalize_incr"] = ORACLE["q19_canonicalize"]

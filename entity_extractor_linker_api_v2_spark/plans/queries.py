@@ -673,6 +673,20 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(_dedup_corpus(spark, sf_dir))
 
 
+def q_canonicalize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonicalization: CC over a deterministic half of the
+    edge relation, then merge_components folds in the other half — must
+    equal the full recompute, so the oracle is q19's recursive-CTE closure
+    verbatim (the driver independently proves incremental ≡ full)."""
+    from ..operators.canonicalize import (connected_components_star,
+                                          entity_edges, merge_components)
+    e = entity_edges(_entities(spark, sf_dir)).localCheckpoint()
+    first = e.filter(F.crc32(F.col("a")) % 2 == 0)
+    second = e.filter(F.crc32(F.col("a")) % 2 == 1)
+    comps = merge_components(connected_components_star(first), second)
+    return comps.withColumn("canonical_id", F.sha2(F.col("comp"), 256))
+
+
 QUERIES = {
     "q01_docs_derive": q_docs_derive,
     "q02_clean_text": q_clean_text,
@@ -730,6 +744,7 @@ QUERIES = {
     "q55_stats_envelope": q_stats_envelope,
     "q56_curate": q_curate,
     "q57_simhash_near_dups": q_simhash_near_dups,
+    "q58_canonicalize_incr": q_canonicalize_incremental,
 }
 
 # queries intentionally WITHOUT an oracle twin (non-SQL-expressible: the
