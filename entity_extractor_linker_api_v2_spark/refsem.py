@@ -342,6 +342,20 @@ _HTML_POST = "</p><footer>FOOTER BOILERPLATE</footer></body></html>"
 _P_RE = re.compile(r"<p>(.*?)</p>", re.S)
 _TAG_RE = re.compile(r"<[^>]+>")
 
+
+def html_escape(text: str) -> str:
+    """Minimal invertible HTML escaping for text nodes (&, <, > — & first).
+
+    Without it, body text that LOOKS like a tag (hypothesis counterexample
+    '<0>') is destroyed by tag-stripping on extraction, breaking the
+    byte-identical round-trip invariant (SURVEY §7.4.1)."""
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def html_unescape(text: str) -> str:
+    """Exact inverse of html_escape: named entities first, &amp; last."""
+    return text.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
 # Conservative "might need the exact char loop" probe: any char outside
 # ASCII-printable + \t\n\r + Latin-1 letters (\xc0-\xff, all printable).
 # False positives only cost speed, never correctness.
@@ -349,13 +363,13 @@ _SUSPECT_RE = re.compile(r"[^\t\n\r\x20-\x7E\xC0-\xFF]")
 
 
 def render_html(text: str) -> bytes:
-    return (_HTML_PRE + text + _HTML_POST).encode("utf-8")
+    return (_HTML_PRE + html_escape(text) + _HTML_POST).encode("utf-8")
 
 
 def _extract_text_str(doc: str) -> str:
     paras = _P_RE.findall(doc)
     body = " ".join(_TAG_RE.sub(" ", p) for p in paras) if paras else _TAG_RE.sub(" ", doc)
-    return clean_text(body)
+    return clean_text(html_unescape(body))
 
 
 def extract_text(html: bytes | None) -> str:
@@ -392,8 +406,11 @@ def extract_text_series(html):
     import pandas as pd
     s = html.str.decode("utf-8", errors="replace").fillna("")
     p = s.str.extract(_P_RE, expand=False)
+    # "&" excluded from the fast path: an entity-bearing body needs the exact
+    # per-row unescape (html_unescape) to preserve the round-trip invariant.
     fast = (p.notna() & (s.str.count("<p>") == 1)
-            & ~p.fillna("<").str.contains("<", regex=False))
+            & ~p.fillna("<").str.contains("<", regex=False)
+            & ~p.fillna("&").str.contains("&", regex=False))
     out = pd.Series("", index=s.index, dtype=object)
     if fast.any():
         out[fast] = clean_text_series(p[fast])

@@ -80,9 +80,15 @@ def derive_docs(d: DataFrame, with_html: bool = True) -> DataFrame:
         .withColumn("link_lang", F.when(F.col("lang") == "de", F.lit("de")).otherwise(F.lit("en")))
     )
     if with_html:
+        # native mirror of refsem.render_html: minimal invertible escaping of
+        # text nodes (& first), so html == render_html(body_text) byte-for-byte
+        escaped = F.replace(
+            F.replace(F.replace(F.col("body_text"), F.lit("&"), F.lit("&amp;")),
+                      F.lit("<"), F.lit("&lt;")),
+            F.lit(">"), F.lit("&gt;"))
         out = out.withColumn(
             "html",
-            F.encode(F.concat(F.lit(refsem._HTML_PRE), F.col("body_text"),
+            F.encode(F.concat(F.lit(refsem._HTML_PRE), escaped,
                               F.lit(refsem._HTML_POST)), "UTF-8"),
         )
     return out

@@ -42,6 +42,15 @@ def test_byte_identical_extracted_text(pipe):
         assert r.extracted_text.encode("utf-8") == refsem.clean_text(r.body_text).encode("utf-8")
 
 
+def test_native_html_matches_render_html(pipe):
+    """derive_docs' native html expression == refsem.render_html(body_text)
+    byte-for-byte, including the escaping of &, <, > in text nodes."""
+    rows = pipe["docs"].select("body_text", "html").limit(200).collect()
+    assert rows
+    for r in rows:
+        assert bytes(r.html) == refsem.render_html(r.body_text)
+
+
 def test_entities_match_refpipe_status(pipe):
     """Spark status/wikidata per (url,label) == sequential reference chain."""
     want = {}

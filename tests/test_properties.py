@@ -101,6 +101,20 @@ def test_html_roundtrip_any_text(s):
     assert refsem.extract_text(refsem.render_html(s)) == cleaned
 
 
+def test_html_roundtrip_tag_like_text():
+    # permanent regression pins: the r3 hypothesis counterexample '<0>' plus
+    # pre-escaped-looking and nested-entity bodies — all must survive the
+    # render/extract round-trip byte-identically.
+    for s in ["<0>", "<p>x</p>", "a < b > c", "&amp;", "&lt;p&gt;", "& < > &lt;0&gt;",
+              "tag <footer>soup</footer> body"]:
+        assert refsem.extract_text(refsem.render_html(s)) == refsem.clean_text(s)
+
+
+def test_html_escape_roundtrip_exact():
+    for s in ["", "&", "&&amp;&lt;", "<<>>", "plain", "&amp;amp;"]:
+        assert refsem.html_unescape(refsem.html_escape(s)) == s
+
+
 @given(st.text(alphabet="abcXYZ;?! \n1.)", max_size=200), st.integers(5, 50))
 def test_qa_parse_truncation_bound(content, max_chars):
     for q, a in refsem.parse_qa_lines(content, max_chars=max_chars):
