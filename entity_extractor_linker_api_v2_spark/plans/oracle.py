@@ -276,7 +276,7 @@ _TRIPLES_BODY = """
 ORACLE["q12_triples"] = _full_chain(f"""
 SELECT url, subj, pred, obj FROM ({_TRIPLES_BODY}) t""")
 
-ORACLE["q13_nodes"] = _full_chain("""
+ORACLE["q59_nodes"] = _full_chain("""
 SELECT label_de AS subj, label_en, wikidata_id, dbpedia_uri, url_de, url_en,
        infobox_type, status,
        count(*) AS n_mentions, count(DISTINCT url) AS n_docs,
@@ -288,7 +288,7 @@ GROUP BY label_de, label_en, wikidata_id, dbpedia_uri, url_de, url_en,
 ORACLE["q14_types_distribution"] = _full_chain("""
 SELECT type, count(*) AS cnt FROM entities GROUP BY type ORDER BY cnt DESC, type""")
 
-ORACLE["q15_top10_categories"] = _full_chain("""
+ORACLE["q60_top10_categories"] = _full_chain("""
 SELECT item, count(*) AS cnt
 FROM (SELECT unnest(categories) AS item FROM entities) t
 GROUP BY item ORDER BY cnt DESC, item LIMIT 10""")
@@ -578,7 +578,7 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
 FROM flagged GROUP BY user_id, session_no"""
 
-ORACLE["q33_split_text_char"] = """
+ORACLE["q61_split_text_char"] = """
 SELECT doc_id, CAST(i // 150 AS INTEGER) AS chunk_idx,
        trim(regexp_replace(substr(text, CAST(i AS INTEGER) + 1, 200), '\\s+', ' ', 'g')) AS chunk
 FROM documents, unnest(range(0, greatest(length(text), 1), 150)) t(i)"""
@@ -598,7 +598,7 @@ SELECT d.doc_id, l.level,
             AS INTEGER) AS pairs_for_level
 FROM documents d CROSS JOIN levels l"""
 
-ORACLE["q35_topic_extract"] = """
+ORACLE["q62_topic_extract"] = """
 SELECT doc_id,
   CASE WHEN length(trim(string_split(text, '.')[1])) > 10
        THEN trim(string_split(text, '.')[1])
@@ -638,7 +638,7 @@ WHERE regexp_replace(regexp_replace(q0, '^\\d+[.)\\s]+', ''),
                      '^[a-zA-Z][.)\\s]+', '') <> ''
   AND (CASE WHEN length(a0) > 20 THEN substr(a0, 1, 17) || '...' ELSE a0 END) <> ''"""
 
-ORACLE["q42_category_strip"] = """
+ORACLE["q63_category_strip"] = """
 SELECT doc_id,
        array_to_string(list_transform(
          ['Category:' || source, 'Kategorie:' || lang, source],
@@ -713,7 +713,7 @@ SELECT doc_id, simhash FROM sims""")
 
 # Hamming-band near-dups: 4×8-bit band buckets (capped) -> candidate pairs
 # -> exact per-position Hamming verify (mirrors dedup.simhash_near_dups)
-ORACLE["q57_simhash_near_dups"] = _dd_with(_DD, _SIMHASH_CTE, """
+ORACLE["q42_simhash_near_dups"] = _dd_with(_DD, _SIMHASH_CTE, """
 sbands0 AS (SELECT doc_id, CAST(b.i AS INTEGER) AS band_id,
                    substr(simhash, CAST(1 + 8 * b.i AS INTEGER), 8) AS band_key
             FROM sims, unnest(range(0, 4)) b(i)),
@@ -898,7 +898,7 @@ SELECT dp.doc_id, dp.provided,
 FROM dp LEFT JOIN best b ON dp.doc_id = b.doc_id"""
 
 
-ORACLE["q52_closest_level"] = _q52_sql()
+ORACLE["q13_closest_level"] = _q52_sql()
 
 
 def _q53_sql() -> str:
@@ -926,7 +926,7 @@ SELECT doc_id,
            || ' translation of]: ' || substr(text, 1, 80) AS translated
 FROM documents"""
 
-ORACLE["q55_stats_envelope"] = _full_chain(f"""
+ORACLE["q15_stats_envelope"] = _full_chain(f"""
 SELECT
   (SELECT count(*) FROM entities) AS total_entities,
   (SELECT count(*) FROM ({_TRIPLES_BODY}) t) AS total_relationships,
@@ -942,7 +942,7 @@ SELECT
 
 # curation chain: quality gate -> exact dedup (keep min id per content hash)
 # -> LSH+jaccard near-dup removal (drop larger id) over the survivors
-ORACLE["q56_curate"] = _dd_with(_DD, final=f"""
+ORACLE["q33_curate"] = _dd_with(_DD, final=f"""
 SELECT doc_id, n_chars, n_tokens FROM (
   WITH kq AS (SELECT doc_id, text FROM dd
               WHERE len(string_split(text, ' ')) >= 10 AND length(text) >= 50),
@@ -986,4 +986,4 @@ reach(n, m) AS (
 """ + _CC_FINAL)
 
 # incremental canonicalization must equal the full recompute: same oracle
-ORACLE["q58_canonicalize_incr"] = ORACLE["q19_canonicalize"]
+ORACLE["q45_canonicalize_incr"] = ORACLE["q19_canonicalize"]

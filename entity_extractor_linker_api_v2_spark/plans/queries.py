@@ -700,9 +700,9 @@ QUERIES = {
     "q10_best_pick": q_best_pick,
     "q11_entities": q_entities,
     "q12_triples": q_triples,
-    "q13_nodes": q_nodes,
+    "q59_nodes": q_nodes,
     "q14_types_distribution": q_types_distribution,
-    "q15_top10_categories": q_top10_categories,
+    "q60_top10_categories": q_top10_categories,
     "q16_top10_all": q_top10_all,
     "q17_linked_stats": q_linked_stats,
     "q18_extraction_stats": q_extraction_stats,
@@ -720,16 +720,16 @@ QUERIES = {
     "q30_embed_near_dups": q_embed_near_dups,
     "q31_events_hourly": q_events_hourly,
     "q32_sessionize": q_sessionize,
-    "q33_split_text_char": q_split_text_char,
+    "q61_split_text_char": q_split_text_char,
     "q34_qa_distribution": q_qa_distribution,
-    "q35_topic_extract": q_topic_extract,
+    "q62_topic_extract": q_topic_extract,
     "q36_compendium_refs": q_compendium_refs,
     "q37_entity_context": q_entity_context,
     "q38_split_sentences": q_split_sentences,
     "q39_qa_parse": q_qa_parse,
     "q40_media_features": q_media_features,
     "q41_frame_sample": q_frame_sample,
-    "q42_category_strip": q_category_strip,
+    "q63_category_strip": q_category_strip,
     "q43_json_props": q_json_props,
     "q44_kb_build": q_kb_build,
     "q46_simhash": q_simhash,
@@ -738,13 +738,13 @@ QUERIES = {
     "q49_ivf_assign": q_ivf_assign,
     "q50_ivf_topk": q_ivf_topk,
     "q51_kmeans": q_kmeans,
-    "q52_closest_level": q_closest_level,
+    "q13_closest_level": q_closest_level,
     "q53_synonyms": q_synonyms,
     "q54_translate": q_translate,
-    "q55_stats_envelope": q_stats_envelope,
-    "q56_curate": q_curate,
-    "q57_simhash_near_dups": q_simhash_near_dups,
-    "q58_canonicalize_incr": q_canonicalize_incremental,
+    "q15_stats_envelope": q_stats_envelope,
+    "q33_curate": q_curate,
+    "q42_simhash_near_dups": q_simhash_near_dups,
+    "q45_canonicalize_incr": q_canonicalize_incremental,
 }
 
 # queries intentionally WITHOUT an oracle twin (non-SQL-expressible: the

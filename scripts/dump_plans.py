@@ -106,7 +106,7 @@ def main() -> None:
         "materialized relation (Scan ExistingRDD) feeding the LSH chain and\n"
         "the anti-join probe side — no recomputation of the upstream\n"
         "quality/window lineage per consumer.\n\n"
-        "```\n" + plan_of(QUERIES["q56_curate"](spark, SF)) + "```\n")
+        "```\n" + plan_of(QUERIES["q33_curate"](spark, SF)) + "```\n")
 
     sections.append(
         "## Embedding near-dups, multi-table capped LSH (q30, round-3 shape)\n\n"

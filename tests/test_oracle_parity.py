@@ -24,11 +24,11 @@ def test_parity(spark, name):
 
 
 STRICT_SUBSET = ["q11_entities", "q44_kb_build", "q12_triples",
-                 "q21_fingerprint", "q16_top10_all", "q13_nodes",
+                 "q21_fingerprint", "q16_top10_all", "q59_nodes",
                  # round-3 additions: float percentages (q55), casted longs
                  # (q56, q57), umlaut-bearing strings (q52)
-                 "q52_closest_level", "q55_stats_envelope", "q56_curate",
-                 "q57_simhash_near_dups"]
+                 "q13_closest_level", "q15_stats_envelope", "q33_curate",
+                 "q42_simhash_near_dups"]
 
 
 @pytest.mark.parametrize("name", STRICT_SUBSET)
