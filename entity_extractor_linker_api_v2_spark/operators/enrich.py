@@ -5,9 +5,10 @@ Corpus-scale rebuilds of three row-level reference utilities:
   * ``closest_level_match`` — O-42 (ref app/core/qa.py:387-403 /
     refsem.closest_level): exact case-insensitive match over the valid
     levels in declaration order, then bidirectional-substring match in the
-    same order, else the first valid level.  Expressed as one broadcast
-    cross-join against the (tiny) levels dimension + a priority window —
-    the per-row when-chain the reference runs, vectorized.
+    same order, else the first valid level.  The levels list is a static
+    literal, so the argmin is a pure per-row array expression
+    (``array_min`` over (match_type, level_idx) structs built from
+    literals) — zero shuffles, no join-back, whole-stage-codegen friendly.
   * ``synonym_expand`` — ref app/core/utils.py:142-165 fallback dict
     (functions.generation.SIMPLE_SYNONYMS): broadcast dictionary
     explode-join; unknown words produce zero rows, matching the
@@ -22,7 +23,7 @@ All three are map-side (broadcast dims only) — zero corpus shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -31,23 +32,27 @@ def closest_level_match(df: DataFrame, provided_col: str, levels: list[str],
     """Append ``matched_level``: the reference's closest-match rule over
     `levels` (order-significant).  match_type 0 = exact (case-insensitive),
     1 = substring either direction; ties break on level order; no match →
-    levels[0].  `id_col` must be unique per row (the window/join-back key)."""
-    spark = df.sparkSession
-    dim = spark.createDataFrame(
-        [(i, lvl) for i, lvl in enumerate(levels)], "level_idx int, level string")
-    p, lv = F.lower(F.col(provided_col)), F.lower(F.col("level"))
-    mt = (F.when(lv == p, 0)
-          .when((F.instr(lv, p) > 0) | (F.instr(p, lv) > 0), 1))
-    w = Window.partitionBy(id_col).orderBy("match_type", "level_idx")
-    best = (df.select(id_col, provided_col).crossJoin(F.broadcast(dim))
-            .withColumn("match_type", mt)
-            .filter(F.col("match_type").isNotNull())
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "level"))
-    return (df.join(best, id_col, "left")
-            .withColumn("matched_level", F.coalesce("level", F.lit(levels[0])))
-            .drop("level"))
+    levels[0].
+
+    Map-side: the candidate (match_type, level_idx) structs are built from
+    the literal levels list per row and ``array_min`` takes the priority
+    argmin (struct comparison is field-order lexicographic), so the plan is
+    a single Project — no Exchange, no join-back.  `id_col` is accepted for
+    signature compatibility but no longer needed (no window key)."""
+    p = F.lower(F.col(provided_col))
+    cands = F.array(*[
+        F.struct(
+            F.when(F.lower(F.lit(lvl)) == p, F.lit(0))
+             .when((F.instr(F.lower(F.lit(lvl)), p) > 0)
+                   | (F.instr(p, F.lower(F.lit(lvl))) > 0), F.lit(1))
+             .otherwise(F.lit(2)).alias("match_type"),
+            F.lit(i).alias("level_idx"),
+            F.lit(lvl).alias("level"))
+        for i, lvl in enumerate(levels)])
+    valid = F.filter(cands, lambda c: c.match_type < 2)
+    return df.withColumn(
+        "matched_level",
+        F.coalesce(F.array_min(valid).level, F.lit(levels[0])))
 
 
 def synonym_dim(spark, synonyms: dict[str, list[str]] | None = None,

@@ -38,6 +38,18 @@ def test_fused_pipeline_corpus_side_has_no_shuffle(spark):
     assert "MapInPandas" in plan
 
 
+def test_closest_level_is_pure_map_side(spark):
+    """closest_level_match is an array-expression argmin over literal levels:
+    the enrich stage must add NO Exchange and NO join to its input plan."""
+    from entity_extractor_linker_api_v2_spark import refsem
+    from entity_extractor_linker_api_v2_spark.operators.enrich import closest_level_match
+    from entity_extractor_linker_api_v2_spark.sources import tables
+    docs = tables.load(spark, SF_SMALL, "documents")
+    plan = _plan(closest_level_match(docs, "text", refsem.DEFAULT_LEVELS))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_parquet_filter_pushdown(spark):
     """Predicate + projection must reach the parquet scan."""
     from entity_extractor_linker_api_v2_spark.sources import tables
