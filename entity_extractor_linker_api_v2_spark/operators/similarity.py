@@ -19,7 +19,7 @@ output to absorb summation-order ULPs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DIM = 64
@@ -74,6 +74,39 @@ def default_centroids(df: DataFrame, id_col: str = "vec_id",
             .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")))
 
 
+def _collect_centroids(c: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-collect a (centroid_id, cvec) relation — K ≤ tens of rows.
+    At 10¹² vectors the centroid set is still driver-small; inlining it as
+    literals keeps the corpus map-side (no n×K shuffle)."""
+    rows = c.select("centroid_id", "cvec").collect()
+    return sorted(((r["centroid_id"], list(r["cvec"])) for r in rows),
+                  key=lambda t: t[0])
+
+
+def _neg_dot_lit(vec, cv: list[float]):
+    """Negated HOF dot against a literal centroid — the exact zip_with +
+    sequential-aggregate arithmetic of the relational formulation (the
+    literal is the same double the float32 cvec cast to), negated so
+    array_min takes the argmax.  Negation of a double is exact."""
+    cl = F.array(*[F.lit(x).cast("double") for x in cv])
+    return -F.aggregate(F.zip_with(vec, cl, lambda a, b: a.cast("double") * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _argmin_centroid(vec_col: str, cents: list[tuple[int, list[float]]],
+                     measure) -> tuple:
+    """Per-row argmin over literal centroids: array_min over
+    (measure, centroid_id) structs — a single Project, zero Exchange.
+    `measure(vec, cvec)` must be ascending-better (negate a dot for argmax).
+    Returns (best_measure, best_centroid_id) columns."""
+    cands = F.array(*[
+        F.struct(measure(F.col(vec_col), cv).alias("m"),
+                 F.lit(cid).cast("long").alias("centroid_id"))
+        for cid, cv in cents])
+    best = F.array_min(cands)
+    return best["m"], best["centroid_id"]
+
+
 def ivf_assign(df: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding",
                centroids: DataFrame | None = None) -> DataFrame:
@@ -82,17 +115,18 @@ def ivf_assign(df: DataFrame, id_col: str = "vec_id",
     ``default_centroids`` (deterministic, the oracle-compared path) or
     ``kmeans_centroids`` (trained; composition pytest-asserted) slot in
     unchanged.  At scale the inverted lists partition the index so a query
-    probes ~n/K vectors instead of n."""
+    probes ~n/K vectors instead of n.
+
+    The ≤K centroids are collected to the driver and inlined as literals,
+    so assignment is a pure map-side array-expression argmax (negated-dot
+    array_min; ties → smallest centroid_id) — the n×K crossJoin + window
+    shape this replaces shuffled the whole corpus per call.  The HOF dot
+    (zip_with + sequential aggregate) is kept bit-identical for oracle
+    float parity."""
     c = centroids if centroids is not None else default_centroids(df, id_col, vec_col)
-    dot = F.aggregate(F.zip_with(vec_col, "cvec",
-                                 lambda a, b: a.cast("double") * b.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    w = Window.partitionBy(id_col).orderBy(F.desc("_dot"), "centroid_id")
-    return (df.crossJoin(F.broadcast(c))
-            .withColumn("_dot", dot)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "centroid_id", F.round("_dot", 3).alias("centroid_dot")))
+    m, cid = _argmin_centroid(vec_col, _collect_centroids(c), _neg_dot_lit)
+    return df.select(F.col(id_col), cid.alias("centroid_id"),
+                     F.round(-m, 3).alias("centroid_dot"))
 
 
 def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
@@ -116,13 +150,21 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
     qn = math.sqrt(sum(x * x for x in q))
     cents = centroids if centroids is not None \
         else default_centroids(df, id_col, vec_col)
-    assign = index if index is not None \
-        else ivf_assign(df, id_col, vec_col, centroids=cents)
     best_c = (cents.withColumn("_qd", _dot(F.col("cvec"), q))
               .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
               .select("centroid_id"))
     score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
-    return (df.join(assign, id_col).join(F.broadcast(best_c), "centroid_id")
+    if index is not None:
+        # prebuilt (materialized/bucketed) index: probe-list broadcast join
+        probed = df.join(index, id_col).join(F.broadcast(best_c), "centroid_id")
+    else:
+        # inline path: assignment is a map-side literal-centroid argmax, so
+        # the probe filter is Project + broadcast join — the corpus is
+        # never shuffled (the old shape joined an n-row assign relation)
+        _, cid = _argmin_centroid(vec_col, _collect_centroids(cents), _neg_dot_lit)
+        probed = (df.withColumn("centroid_id", cid)
+                  .join(F.broadcast(best_c), "centroid_id"))
+    return (probed
             .select(F.col(id_col), score.alias("_s"))
             .orderBy(F.desc("_s"), id_col).limit(k)
             .select(id_col, F.round("_s", 3).alias("cosine")))
@@ -156,32 +198,37 @@ def kmeans_centroids(df: DataFrame, k: int = 8, iters: int = 2,
 
 
 def _kmeans(df: DataFrame, k: int, iters: int, id_col: str, vec_col: str):
-    def dist2(vec, cvec):
-        return F.aggregate(F.zip_with(vec, cvec,
+    """Each iteration: per-row argmin over the k literal centroids (pure
+    Project — the n×k crossJoin + window this replaces shuffled the corpus
+    once per iteration) + ONE shuffle for the per-dimension avg() partials.
+    The new means (k×DIM doubles) are collected to the driver between
+    iterations and re-inlined as literals — exact values, so the unrolled
+    DuckDB oracle stays float-identical."""
+    def dist2(vec, cv):
+        cl = F.array(*[F.lit(x).cast("double") for x in cv])
+        return F.aggregate(F.zip_with(vec, cl,
                                       lambda a, b: (a.cast("double") - b) *
                                                    (a.cast("double") - b)),
                            F.lit(0.0), lambda acc, x: acc + x)
 
-    cents = (df.filter(F.col(id_col) < k)
-             .select(F.col(id_col).alias("cluster"),
-                     F.transform(vec_col, lambda x: x.cast("double")).alias("cvec")))
     assigned = None
+    cents_df = (df.filter(F.col(id_col) < k)
+                .select(F.col(id_col).alias("cluster"),
+                        F.transform(vec_col, lambda x: x.cast("double")).alias("cvec")))
     for _ in range(iters):
-        w = Window.partitionBy(id_col).orderBy("_d2", "cluster")
-        assigned = (df.crossJoin(F.broadcast(cents))
-                    .withColumn("_d2", dist2(F.col(vec_col), F.col("cvec")))
-                    .withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .select(id_col, vec_col, "cluster"))
+        cents = _collect_centroids(
+            cents_df.select(F.col("cluster").alias("centroid_id"), "cvec"))
+        _, cid = _argmin_centroid(vec_col, cents, dist2)
+        assigned = df.select(F.col(id_col), F.col(vec_col), cid.alias("cluster"))
         # per-dimension means -> rebuilt centroid arrays: dim avg() columns
         # in one hash aggregate (map-side combine), zero explode
-        cents = (assigned
-                 .groupBy("cluster")
-                 .agg(*[F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
-                        .alias(f"_m{i}") for i in range(DIM)])
-                 .select("cluster",
-                         F.array(*[F.col(f"_m{i}") for i in range(DIM)]).alias("cvec")))
-    return assigned, cents
+        cents_df = (assigned
+                    .groupBy("cluster")
+                    .agg(*[F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
+                           .alias(f"_m{i}") for i in range(DIM)])
+                    .select("cluster",
+                            F.array(*[F.col(f"_m{i}") for i in range(DIM)]).alias("cvec")))
+    return assigned, cents_df
 
 
 # Near-dup candidate generation: n_tables independent hash tables of `bits`

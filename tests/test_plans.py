@@ -50,6 +50,18 @@ def test_closest_level_is_pure_map_side(spark):
     assert "Join" not in plan, plan
 
 
+def test_ivf_assign_is_map_side(spark):
+    """ivf_assign inlines the driver-collected centroids as literals: the
+    assignment plan must contain no Exchange and no Join (the old n×K
+    crossJoin + per-id window shuffled the corpus once per call)."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    from entity_extractor_linker_api_v2_spark.sources import tables
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    plan = _plan(similarity.ivf_assign(emb))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_parquet_filter_pushdown(spark):
     """Predicate + projection must reach the parquet scan."""
     from entity_extractor_linker_api_v2_spark.sources import tables
@@ -87,11 +99,19 @@ def test_kmeans_centroid_update_is_partial_agg_not_explode(spark):
     """Centroid recompute must be per-dimension partial_avg aggregates
     (map-side combine; k×dim partials cross the exchange) — a posexplode
     formulation would shuffle n×dim rows per iteration (visible as a
-    Generate node feeding the aggregate)."""
+    Generate node feeding the aggregate).  Since the literal-centroid
+    rewrite, the ASSIGNMENT plan is a pure Scan→Project (no Exchange at
+    all); the avg partials live in the centroid-update job."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
     from entity_extractor_linker_api_v2_spark.plans.queries import q_kmeans
-    plan = _plan(q_kmeans(spark, SF_SMALL))
-    assert "partial_avg" in plan
-    assert "Generate" not in plan  # no explode anywhere in the kmeans plan
+    from entity_extractor_linker_api_v2_spark.sources import tables
+    assign_plan = _plan(q_kmeans(spark, SF_SMALL))
+    assert "Exchange" not in assign_plan
+    assert "Generate" not in assign_plan
+    cents_plan = _plan(similarity.kmeans_centroids(
+        tables.load(spark, SF_SMALL, "embeddings")))
+    assert "partial_avg" in cents_plan
+    assert "Generate" not in cents_plan
 
 
 def test_simhash_is_single_pass_no_shuffle(spark):
