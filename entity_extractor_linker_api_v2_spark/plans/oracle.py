@@ -584,6 +584,86 @@ SELECT doc_id, CAST(i // 150 AS INTEGER) AS chunk_idx,
 FROM documents, unnest(range(0, greatest(length(text), 1), 150)) t(i)"""
 
 
+def _q38_sql(chunk: int = 120, overlap: int = 30) -> str:
+    """The greedy sentence-packing chunker (refsem.split_text sentence mode,
+    ref utils.py:142-205 packing loop) as a DuckDB RECURSIVE CTE: the packing
+    loop is a linear recurrence over sentences, so the recursive step carries
+    (cur, cur_sents) per document and emits a chunk whenever the next
+    sentence does not fit.
+
+    Two emulations vs the Python source:
+      * RE2 has no lookbehind, so the '(?<=[.!?]) +' sentence split becomes
+        sentinel-replace (punct + spaces -> punct + chr(1)) then split.
+      * the break-at-first-failure overlap carry is closed-form: carry_len of
+        the suffix [m..n] equals suffix_total(m) = sum(len)+(n-m), monotone
+        decreasing in m, so the carried suffix starts at the smallest m with
+        suffix_total(m) <= overlap, gated on the last sentence fitting
+        (len+1 <= overlap).  The reference's `p in carry` SUBSTRING quirk for
+        the surviving cur_sents is mirrored with contains().
+    """
+    return rf"""
+WITH RECURSIVE
+sarr AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '([.!?]) +', '\1' || chr(1), 'g'),
+                      chr(1)) AS arr
+  FROM documents),
+sents AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY u.i) AS idx, u.s
+  FROM (SELECT doc_id, trim(unnest(arr)) AS s, generate_subscripts(arr, 1) AS i
+        FROM sarr) u
+  WHERE u.s <> ''),
+step AS (
+  SELECT doc_id, 0 AS i, '' AS cur, CAST([] AS VARCHAR[]) AS cur_sents,
+         CAST(NULL AS VARCHAR) AS emit
+  FROM (SELECT DISTINCT doc_id FROM sents)
+  UNION ALL
+  SELECT st.doc_id, st.i + 1,
+         CASE WHEN h.fits THEN (CASE WHEN st.cur = '' THEN sn.s
+                                     ELSE st.cur || ' ' || sn.s END)
+              WHEN h.carry <> '' THEN h.carry || ' ' || sn.s
+              ELSE sn.s END,
+         CASE WHEN h.fits THEN list_append(st.cur_sents, sn.s)
+              WHEN h.carry <> ''
+                THEN list_filter(st.cur_sents, p -> contains(h.carry, p)) || [sn.s]
+              ELSE [sn.s] END,
+         CASE WHEN NOT h.fits AND st.cur <> ''
+              THEN trim(regexp_replace(st.cur, '\s+', ' ', 'g')) END
+  FROM step st
+  JOIN sents sn ON sn.doc_id = st.doc_id AND sn.idx = st.i + 1
+  CROSS JOIN LATERAL (
+    SELECT fits, n,
+      CASE WHEN NOT fits AND n > 0 AND length(st.cur_sents[n]) + 1 <= {overlap}
+           THEN array_to_string(list_slice(st.cur_sents, cs, n), ' ')
+           ELSE '' END AS carry
+    FROM (
+      SELECT (length(st.cur) + length(sn.s) + 1 <= {chunk}) AS fits,
+             len(st.cur_sents) AS n,
+             coalesce(len(st.cur_sents) + 1 - len(list_filter(
+               list_transform(st.cur_sents, (x, m) ->
+                 CASE WHEN m = len(st.cur_sents) THEN length(x) + 1
+                      ELSE list_sum(list_transform(
+                             list_slice(st.cur_sents, m, len(st.cur_sents)),
+                             y -> length(y))) + len(st.cur_sents) - m END),
+               t -> t <= {overlap})), 1) AS cs
+    )) h),
+emits AS (
+  SELECT doc_id, i, emit FROM step WHERE emit IS NOT NULL
+  UNION ALL
+  SELECT s1.doc_id, s1.i + 1, trim(regexp_replace(s1.cur, '\s+', ' ', 'g'))
+  FROM (SELECT * FROM step
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) = 1) s1
+  WHERE s1.cur <> '')
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INTEGER)
+         AS chunk_idx,
+       emit AS chunk
+FROM emits"""
+
+
+ORACLE["q38_split_sentences"] = _q38_sql()
+
+
 def _levels_cte() -> str:
     from ..refsem import DEFAULT_LEVELS
     rows = ", ".join(f"({i}, '{lvl}')" for i, lvl in enumerate(DEFAULT_LEVELS))

@@ -443,15 +443,12 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched pandas UDF (refsem.split_text) — not SQL-expressible, so
     no oracle entry: the driver records a rows-only check; the algorithm is
     pinned by the refsem unit truth tables instead."""
-    import pandas as pd  # noqa: F401 — needed for the UDF type hints
-    from pyspark.sql import types as T
+    import pandas as pd
     from .. import refsem
 
-    def _split(texts):
+    @F.pandas_udf("array<string>")
+    def split_udf(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: refsem.split_text(t, 120, 30))
-
-    split_udf = F.pandas_udf(_split, T.ArrayType(T.StringType()),
-                             F.PandasUDFType.SCALAR)
 
     d = tables.load(spark, sf_dir, "documents")
     return (d.select("doc_id", F.posexplode(split_udf("text")).alias("chunk_idx", "chunk")))
@@ -747,8 +744,10 @@ QUERIES = {
     "q45_canonicalize_incr": q_canonicalize_incremental,
 }
 
-# queries intentionally WITHOUT an oracle twin (non-SQL-expressible: the
-# stateful python chunker); driver records a rows-only check.  q40/q41
-# gained oracles in round 3 — the deterministic stub decoder's output is
-# independently derivable from the synth_media generator formulas.
-ROWS_ONLY = {"q38_split_sentences"}
+# Every registered query now has an oracle twin.  q38's stateful greedy
+# chunker gained one in round 4: the packing loop is a linear recurrence, so
+# the DuckDB twin states it as a RECURSIVE CTE (oracle._q38_sql) even though
+# the Spark side stays an Arrow-batched pandas UDF.  q40/q41 gained oracles
+# in round 3 (decoder output re-derived from the synth_media generator
+# formulas).
+ROWS_ONLY: set[str] = set()
