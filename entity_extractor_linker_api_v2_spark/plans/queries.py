@@ -446,9 +446,14 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from .. import refsem
 
-    @F.pandas_udf("array<string>")
-    def split_udf(texts: pd.Series) -> pd.Series:
+    def _split(texts):
         return texts.map(lambda t: refsem.split_text(t, 120, 30))
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf can't
+    # resolve against a function-local pandas import
+    _split.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    split_udf = F.pandas_udf(_split, "array<string>")
 
     d = tables.load(spark, sf_dir, "documents")
     return (d.select("doc_id", F.posexplode(split_udf("text")).alias("chunk_idx", "chunk")))
