@@ -114,7 +114,12 @@ def _shingles(text_col: str):
 # products < 2^63 so the arithmetic is exact BIGINT in Spark AND DuckDB
 # (bit-identical replay).
 MINHASH_P = 4294967311          # smallest prime > 2^32
-MINHASH_A = [2 * i + 1 for i in range(N_HASHES)]
+# A_i: large fixed odd 31-bit multipliers (golden-ratio family) — tiny
+# sequential odd A (1,3,5,…) gave highly correlated permutations, skewing
+# band-collision probability off the 1-(1-j^r)^b banding curve.  A < 2^31
+# keeps A·h + B < 2^63 (exact BIGINT in Spark and DuckDB, bit-identical
+# replay); odd keeps each map a bijection mod 2^32 factors.
+MINHASH_A = [((2654435761 * (2 * i + 1)) % (1 << 31)) | 1 for i in range(N_HASHES)]
 MINHASH_B = [(i * 2654435761) % MINHASH_P for i in range(N_HASHES)]
 
 
@@ -215,6 +220,11 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     MinHash-LSH: shuffle on (band_id, band_key) only, membership cap per
     bucket, pair relation is ids before the verify join-back."""
     from pyspark.sql import Window
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole losslessness "
+            f"of the {SIMHASH_BANDS}-band generator (complete only for "
+            f"Hamming <= {SIMHASH_BANDS - 1}); raise SIMHASH_BANDS instead")
     sh = simhash(df, id_col, text_col)
     bands = sh.select(
         F.col(id_col),

@@ -24,6 +24,29 @@ from pyspark.sql import functions as F
 
 DIM = 64
 N_PLANES = 4
+# auto-derivation target: bits ≈ log2(n / TARGET_BUCKET).  48 (not 32) so the
+# sf-scale corpora (500 vectors, ±5% approx_count_distinct error) sit mid-band
+# and derive exactly the historical 4-bit default — the flip points 384/768
+# are far from 500·(1±ε), so the oracle-pinned constant stays reproducible.
+TARGET_BUCKET = 48
+
+
+def derived_bits(n: int, target_bucket: int = TARGET_BUCKET,
+                 lo: int = 2, hi: int = 24) -> int:
+    """Hyperplane-bit count for corpus size n: ceil(log2(n/target_bucket)),
+    clamped to [lo, hi].  Buckets per table = 2^bits, so expected bucket
+    membership ≈ target_bucket regardless of corpus size — the dial the
+    round-3 docstring told callers to turn by hand, now derived."""
+    import math
+    if n <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
+
+
+def _approx_n(df: DataFrame, id_col: str) -> int:
+    """approx_count_distinct corpus-size estimate (one cheap scan; at cluster
+    scale this is a metadata-ish job vs the LSH pass it parameterizes)."""
+    return df.agg(F.approx_count_distinct(id_col).alias("n")).collect()[0]["n"]
 
 
 def query_vector(dim: int = DIM) -> list[float]:
@@ -57,9 +80,23 @@ def brute_force_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
 
 
 def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                n_planes: int | None = None) -> DataFrame:
+    """Sign-bit bucket per vector.  n_planes=None derives the plane count
+    from corpus size (derived_bits) — at the sf-scale corpora this equals
+    the historical N_PLANES=4, which is what the static oracle SQL pins."""
+    if n_planes is None:
+        n_planes = derived_bits(_approx_n(df, id_col))
+    # skip the mod-7 family's degenerate indices (j+2 ≡ 0 mod 7 → constant
+    # normal → constant bit); the first four usable js are 0..3, so the
+    # oracle-pinned 4-plane buckets are unchanged
+    js, j = [], 0
+    while len(js) < n_planes:
+        if (j + 2) % 7 != 0:
+            js.append(j)
+        j += 1
     bits = [F.when(F.round(_dot(F.col(vec_col), hyperplane(j)), 6) >= 0, F.lit("1"))
-            .otherwise(F.lit("0")) for j in range(N_PLANES)]
+            .otherwise(F.lit("0")) for j in js]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
@@ -232,11 +269,13 @@ def _kmeans(df: DataFrame, k: int, iters: int, id_col: str, vec_col: str):
 
 
 # Near-dup candidate generation: n_tables independent hash tables of `bits`
-# sign bits each.  The bucket count per table is 2^bits — at corpus size n,
-# pick bits ≈ log2(n / target_bucket_size) so the intra-bucket pair join
-# stays ~n·target per table instead of degrading toward n²/2^bits (the same
-# m² blowup the MinHash-LSH bucket cap guards against).  The cap bounds the
-# degenerate case (a 10^6-member boilerplate bucket) at cap² regardless.
+# sign bits each.  The bucket count per table is 2^bits — bits=None (the
+# default) derives bits ≈ log2(n / TARGET_BUCKET) from an
+# approx_count_distinct estimate (derived_bits), so the intra-bucket pair
+# join stays ~n·target per table at any corpus size instead of degrading
+# toward n²/2^bits (the same m² blowup the MinHash-LSH bucket cap guards
+# against).  The cap bounds the degenerate case (a 10^6-member boilerplate
+# bucket) at cap² regardless.
 NEARDUP_TABLES = 2
 NEARDUP_BITS = 4
 NEARDUP_BUCKET_CAP = 64
@@ -252,10 +291,22 @@ def neardup_plane(t: int, b: int, dim: int = DIM) -> list[float]:
     return [((i * m * 13 + t) % 19 - 9) / 10.0 for i in range(dim)]
 
 
+def _valid_plane_idxs(t: int, bits: int) -> list[int]:
+    """First `bits` plane indices for table `t`, skipping the family's
+    degenerate (constant-normal) members (7t+b+2 ≡ 0 mod 19).  For the
+    oracle-pinned defaults (t ∈ {0,1}, bits=4) this is b = 0..3 unchanged."""
+    bs, b = [], 0
+    while len(bs) < bits:
+        if (7 * t + b + 2) % 19 != 0:
+            bs.append(b)
+        b += 1
+    return bs
+
+
 def neardup_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             n_tables: int = NEARDUP_TABLES,
-                            bits: int = NEARDUP_BITS,
+                            bits: int | None = None,
                             bucket_cap: int = NEARDUP_BUCKET_CAP) -> DataFrame:
     """(a, b) pairs sharing a bucket in ≥1 of `n_tables` hyperplane tables.
 
@@ -263,12 +314,21 @@ def neardup_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     the SAME (table_id, bucket) key as the pair self-join (one exchange
     feeds both — mirrors dedup.lsh_candidate_pairs).  The pair relation is
     ids only; vectors are joined back by the caller, so a hot bucket never
-    replicates embedding payloads."""
+    replicates embedding payloads.
+
+    bits=None derives the per-table bit count from corpus size
+    (derived_bits: ceil(log2(n/target))) — expected bucket membership stays
+    ≈ TARGET_BUCKET at any scale instead of degrading toward n²/2^bits; at
+    the sf-scale corpora the derivation lands on the historical
+    NEARDUP_BITS=4 the static oracle pins."""
     from pyspark.sql import Window
+    if bits is None:
+        bits = derived_bits(_approx_n(df, id_col))
 
     def bucket_str(t):
         bs = [F.when(F.round(_dot(F.col(vec_col), neardup_plane(t, b)), 6) >= 0,
-                     F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+                     F.lit("1")).otherwise(F.lit("0"))
+              for b in _valid_plane_idxs(t, bits)]
         return F.concat(*bs)
 
     tb = df.select(F.col(id_col),
@@ -287,7 +347,7 @@ def neardup_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_tables: int = NEARDUP_TABLES, bits: int = NEARDUP_BITS,
+                        n_tables: int = NEARDUP_TABLES, bits: int | None = None,
                         bucket_cap: int = NEARDUP_BUCKET_CAP) -> DataFrame:
     """Candidate pairs (multi-table capped LSH) with exact cosine ≥ threshold.
     Exact scoring touches only O(candidates) vector pairs — the corpus-wide

@@ -175,6 +175,45 @@ def test_neardup_bucket_cap_bounds_pair_blowup(spark):
     assert similarity.embedding_near_dups(vecs, bucket_cap=8).count() == 8 * 7 // 2
 
 
+def test_neardup_auto_bits_scales_with_corpus(spark):
+    """bits=None derives the bucket dial from corpus size: at two corpus
+    sizes with DIFFERENT derived bits, the capped multi-table generator must
+    still surface every planted intra-cluster pair (identical vectors share
+    every bucket) while the total candidate count stays under the structural
+    bound tables × 2^bits × C(cap,2) — membership-bounded at any scale."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+
+    def planted(n, n_clusters=100):
+        # cluster id = vec_id % n_clusters; members of a cluster identical
+        return spark.range(n).selectExpr(
+            "id AS vec_id",
+            f"transform(sequence(1, 64), i -> CAST("
+            f"  ((i * (1 + id % {n_clusters})) % 19 - 9) / 10.0 AS FLOAT)) AS embedding")
+
+    seen_bits = {}
+    for n in (400, 4000):
+        bits = similarity.derived_bits(similarity._approx_n(planted(n), "vec_id"))
+        seen_bits[n] = bits
+        # completeness of the derived-bits generator: uncapped, every planted
+        # intra-cluster pair must surface (identical vectors share every
+        # bucket; the cap is a separate, orthogonal guard)
+        uncapped = {(r["a"], r["b"]) for r in
+                    similarity.neardup_candidate_pairs(planted(n), bucket_cap=0)
+                    .collect()}
+        members = {}
+        for vid in range(n):
+            members.setdefault(vid % 100, []).append(vid)
+        intra = {(a, b) for ms in members.values()
+                 for i, a in enumerate(ms) for b in ms[i + 1:]}
+        assert intra <= uncapped, f"n={n}: missing planted pairs"
+        # boundedness of the capped generator at the same derived bits
+        capped = similarity.neardup_candidate_pairs(planted(n)).count()
+        bound = (similarity.NEARDUP_TABLES * (2 ** bits)
+                 * similarity.NEARDUP_BUCKET_CAP * (similarity.NEARDUP_BUCKET_CAP - 1) // 2)
+        assert capped <= bound, f"n={n}: {capped} > structural bound {bound}"
+    assert seen_bits[400] < seen_bits[4000], seen_bits
+
+
 def test_variation_array_matches_refsem_on_tricky_names(spark):
     """Three-way casing agreement, Spark half: the probe-side
     _variation_array must equal refsem.name_variations (ordered, deduped,
