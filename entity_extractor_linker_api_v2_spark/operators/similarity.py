@@ -120,13 +120,12 @@ def _collect_centroids(c: DataFrame) -> list[tuple[int, list[float]]]:
                   key=lambda t: t[0])
 
 
-def _neg_dot_lit(vec, cv: list[float]):
-    """Negated HOF dot against a literal centroid — the exact zip_with +
+def _neg_dot_lit(vec, cvec):
+    """Negated HOF dot against a centroid-row column — the exact zip_with +
     sequential-aggregate arithmetic of the relational formulation (the
-    literal is the same double the float32 cvec cast to), negated so
-    array_min takes the argmax.  Negation of a double is exact."""
-    cl = F.array(*[F.lit(x).cast("double") for x in cv])
-    return -F.aggregate(F.zip_with(vec, cl, lambda a, b: a.cast("double") * b),
+    literal matrix holds the same doubles the float32 cvec cast to),
+    negated so array_min takes the argmax.  Negation of a double is exact."""
+    return -F.aggregate(F.zip_with(vec, cvec, lambda a, b: a.cast("double") * b),
                         F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -135,11 +134,19 @@ def _argmin_centroid(vec_col: str, cents: list[tuple[int, list[float]]],
     """Per-row argmin over literal centroids: array_min over
     (measure, centroid_id) structs — a single Project, zero Exchange.
     `measure(vec, cvec)` must be ascending-better (negate a dot for argmax).
-    Returns (best_measure, best_centroid_id) columns."""
-    cands = F.array(*[
-        F.struct(measure(F.col(vec_col), cv).alias("m"),
-                 F.lit(cid).cast("long").alias("centroid_id"))
-        for cid, cv in cents])
+    Returns (best_measure, best_centroid_id) columns.
+
+    The centroid matrix is ONE nested array literal traversed with
+    zip_with, not K unrolled per-centroid expressions: the generated code
+    is O(1) in K×dim (an unrolled 16×64-literal tree cost seconds of
+    Janino compilation per query — fixed overhead that dwarfed the actual
+    scan at bench scale)."""
+    cmat = F.lit([[float(x) for x in cv] for _, cv in cents])
+    cids = F.lit([cid for cid, _ in cents])
+    cands = F.zip_with(
+        cmat, cids,
+        lambda cv, cid: F.struct(measure(F.col(vec_col), cv).alias("m"),
+                                 cid.cast("long").alias("centroid_id")))
     best = F.array_min(cands)
     return best["m"], best["centroid_id"]
 
@@ -241,9 +248,8 @@ def _kmeans(df: DataFrame, k: int, iters: int, id_col: str, vec_col: str):
     The new means (k×DIM doubles) are collected to the driver between
     iterations and re-inlined as literals — exact values, so the unrolled
     DuckDB oracle stays float-identical."""
-    def dist2(vec, cv):
-        cl = F.array(*[F.lit(x).cast("double") for x in cv])
-        return F.aggregate(F.zip_with(vec, cl,
+    def dist2(vec, cvec):
+        return F.aggregate(F.zip_with(vec, cvec,
                                       lambda a, b: (a.cast("double") - b) *
                                                    (a.cast("double") - b)),
                            F.lit(0.0), lambda acc, x: acc + x)

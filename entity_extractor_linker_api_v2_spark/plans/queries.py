@@ -51,20 +51,32 @@ def _capped_fused(spark, sf_dir):
 # linked-entity relation; in one SparkSession (the driver runs all queries in
 # one) the relation is built and persisted ONCE — the in-session analog of
 # the StageCheckpoint boundary a production run would materialize it at.
-# Keyed by (session id, sf_dir); a fresh session just rebuilds.  Results are
-# identical either way (persist caches, it never changes semantics).
-_ENTITY_CACHE: dict = {}
+# WeakKeyDictionary keyed by the SparkSession OBJECT (not id(): a stopped
+# session's id can be reused by a new object, which would hand out persisted
+# frames bound to a dead SparkContext); when the session is garbage-collected
+# its cached frames drop with it.  Results are identical either way (persist
+# caches, it never changes semantics).
+import weakref
+
+_ENTITY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _entities(spark, sf_dir):
-    key = (id(spark), sf_dir)
-    if key not in _ENTITY_CACHE:
+    per = _ENTITY_CACHE.setdefault(spark, {})
+    if sf_dir not in per:
         # persist the mention table: it feeds both the probe-key distinct
         # and the join-back (avoids re-running the pandas-UDF extraction
         # chain twice); persist the entity table for the nine consumers
-        _ENTITY_CACHE[key] = linking.link_mentions(
+        per[sf_dir] = linking.link_mentions(
             spark, _capped_fused(spark, sf_dir).persist()).persist()
-    return _ENTITY_CACHE[key]
+    return per[sf_dir]
+
+
+def entity_cache_populated(spark, sf_dir: str) -> bool:
+    """True if the session-scoped entity relation for (spark, sf_dir) is
+    already built — bench.py records this per query so chain-query timings
+    can't be misread as full-lineage costs."""
+    return sf_dir in _ENTITY_CACHE.get(spark, {})
 
 
 def _arr_str(col):

@@ -169,3 +169,31 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_mentions_b")
         spark.sql("DROP TABLE IF EXISTS t_dim_b")
+
+
+def test_entity_cache_survives_session_restart():
+    """Two sequential sessions: the second must rebuild the entity relation
+    rather than receive persisted frames bound to the first (stopped)
+    context — the id()-reuse hazard the WeakKeyDictionary cache removes.
+    Subprocess-isolated so stopping sessions can't affect the shared
+    fixture."""
+    import subprocess
+    import sys
+    script = r"""
+from entity_extractor_linker_api_v2_spark.plans import queries
+from entity_extractor_linker_api_v2_spark.session import get_spark
+s1 = get_spark(app_name="cache-a", master="local[4]", shuffle_partitions=4)
+n1 = queries.QUERIES["q11_entities"](s1, "/root/testdata/sf0.001").count()
+assert queries.entity_cache_populated(s1, "/root/testdata/sf0.001")
+s1.stop()
+s2 = get_spark(app_name="cache-b", master="local[4]", shuffle_partitions=4)
+assert not queries.entity_cache_populated(s2, "/root/testdata/sf0.001"), \
+    "fresh session must not inherit the stopped session's cache"
+n2 = queries.QUERIES["q11_entities"](s2, "/root/testdata/sf0.001").count()
+assert n1 == n2 > 0
+s2.stop()
+print("CACHE_OK")
+"""
+    proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                          text=True, timeout=600)
+    assert "CACHE_OK" in proc.stdout, proc.stderr[-2000:]
