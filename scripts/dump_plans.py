@@ -120,11 +120,29 @@ def main() -> None:
         "```\n" + plan_of(QUERIES["q30_embed_near_dups"](spark, SF)) + "```\n")
 
     sections.append(
-        "## K-means centroid update (q51)\n\n"
-        "Check: centroid recompute is one HashAggregate with partial_avg per\n"
-        "dimension (map-side combine) — NO posexplode of n×dim rows; the\n"
-        "distance stage is a broadcast crossJoin of k centroids.\n\n"
+        "## K-means assignment (q51, round-4 shape)\n\n"
+        "Check: the returned assignment plan is a pure Scan → Project — the\n"
+        "per-row argmin over the k driver-collected centroids is ONE nested\n"
+        "array literal traversed with zip_with (no crossJoin, no window, no\n"
+        "Exchange).  The per-iteration centroid recompute (a separate job)\n"
+        "is one HashAggregate with partial_avg per dimension (map-side\n"
+        "combine) — NO posexplode of n×dim rows.\n\n"
         "```\n" + plan_of(QUERIES["q51_kmeans"](spark, SF)) + "```\n")
+
+    sections.append(
+        "## IVF coarse assignment (q49, round-4 shape)\n\n"
+        "Check: Scan → Project only — centroids inlined as one matrix\n"
+        "literal, argmax via array_min over (neg-dot, id) structs; the old\n"
+        "n×K crossJoin + per-id window (a full corpus shuffle per call) is\n"
+        "gone.  At 10^12 vectors this stage is embarrassingly parallel.\n\n"
+        "```\n" + plan_of(QUERIES["q49_ivf_assign"](spark, SF)) + "```\n")
+
+    sections.append(
+        "## Closest-level enrich (q13, round-4 shape)\n\n"
+        "Check: single Project — the levels list is a literal array of\n"
+        "(match_type, level_idx) structs and array_min takes the priority\n"
+        "argmin per row; no crossJoin, no window, no join-back.\n\n"
+        "```\n" + plan_of(QUERIES["q13_closest_level"](spark, SF)) + "```\n")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
