@@ -105,9 +105,13 @@ N_CENTROIDS = 16
 
 def default_centroids(df: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
-    """Deterministic coarse centroids: the vectors whose id ≡ 0 mod
-    N_CENTROIDS, as (centroid_id, cvec)."""
-    return (df.filter((F.col(id_col) % N_CENTROIDS) == 0)
+    """Deterministic coarse centroids: the first N_CENTROIDS vectors by id,
+    as (centroid_id, cvec).  K is FIXED (like the k-means seeds) — the
+    round-3 definition (ids ≡ 0 mod 16) made K grow as n/16, so the
+    per-row assignment cost scaled with the corpus (125 centroids at the
+    sf0.1 bench, 10¹¹ at 100 TB) instead of being a chosen index
+    parameter."""
+    return (df.filter(F.col(id_col) < N_CENTROIDS)
             .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")))
 
 
@@ -169,8 +173,15 @@ def ivf_assign(df: DataFrame, id_col: str = "vec_id",
     float parity."""
     c = centroids if centroids is not None else default_centroids(df, id_col, vec_col)
     m, cid = _argmin_centroid(vec_col, _collect_centroids(c), _neg_dot_lit)
-    return df.select(F.col(id_col), cid.alias("centroid_id"),
-                     F.round(-m, 3).alias("centroid_dot"))
+    # explode(array(...)) Generate barrier: the projection reads BOTH fields
+    # of the argmin struct, and interpreted HOF chains get no common-
+    # subexpression elimination — without the barrier the full K-dot scan
+    # runs twice per row (CollapseProject re-inlines it into each field
+    # reference; same trick as dedup.minhash_signatures)
+    best = F.explode(F.array(F.struct(m.alias("m"), cid.alias("centroid_id"))))
+    return (df.select(F.col(id_col), best.alias("_b"))
+            .select(F.col(id_col), F.col("_b.centroid_id").alias("centroid_id"),
+                    F.round(-F.col("_b.m"), 3).alias("centroid_dot")))
 
 
 def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",

@@ -866,7 +866,7 @@ ex AS (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) 
        FROM embeddings),
 cex AS (SELECT vec_id AS centroid_id, unnest(embedding) AS ce,
                generate_subscripts(embedding, 1) AS cs
-        FROM embeddings WHERE vec_id % 16 = 0),
+        FROM embeddings WHERE vec_id < 16),
 cdots AS (SELECT ex.vec_id, cex.centroid_id,
                  sum(CAST(ex.e AS DOUBLE) * CAST(cex.ce AS DOUBLE)) AS dot
           FROM ex JOIN cex ON ex.s = cex.cs

@@ -289,7 +289,7 @@ def test_ivf_recall_monotonic_in_nprobe(spark):
                similarity.ivf_topk(emb, k=10, index=idx, nprobe=nprobe).collect()}
         return len(exact & got) / 10
 
-    # centroids are ids ≡ 0 mod N_CENTROIDS -> n/16 lists; probe them all
+    # K = N_CENTROIDS fixed lists (first 16 ids); nprobe >= K probes them all
     r1, r4, rk = recall(1), recall(4), recall(10**6)
     assert r1 <= r4 <= rk
     assert rk == 1.0
