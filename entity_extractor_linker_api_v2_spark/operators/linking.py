@@ -105,6 +105,52 @@ def resolve_candidates(probes: DataFrame,
     )
 
 
+def save_kb_bucketed(spark, aliases: DataFrame | None = None,
+                     kb: DataFrame | None = None, prefix: str = "kb",
+                     buckets: int = 8) -> None:
+    """Ingest-time half of the beyond-broadcast linking regime: persist the
+    alias dictionary bucketed on its join key (alias, lang) and the KB page
+    table bucketed on (title, lang).  Paid once; every subsequent linking
+    job joins against them without ever shuffling the dimension."""
+    from ..sources.bucketed import save_bucketed
+    save_bucketed(aliases if aliases is not None else aliases_df(spark),
+                  f"{prefix}_aliases_b", ["alias", "lang"], buckets=buckets)
+    save_bucketed(kb if kb is not None else kb_pages_df(spark),
+                  f"{prefix}_pages_b", ["title", "lang"], buckets=buckets)
+
+
+def resolve_candidates_bucketed(probes: DataFrame, redirects: DataFrame,
+                                spark, prefix: str = "kb") -> DataFrame:
+    """``resolve_candidates`` for dimensions past broadcast size: the alias
+    and KB tables are read from their bucketed form (``save_kb_bucketed``),
+    so each lookup shuffles ONLY the probe relation (distinct label keys —
+    orders of magnitude smaller than a 10⁷-page KB) to the bucket layout;
+    the dimension side scans in place with zero Exchange (plan-asserted).
+    Redirects stay broadcast (they are title→title pairs, always small
+    relative to the KB).  Output is column-identical to the broadcast path
+    (equivalence pytest-asserted)."""
+    a = spark.table(f"{prefix}_aliases_b")
+    k = spark.table(f"{prefix}_pages_b")
+    r = F.broadcast(redirects.withColumnRenamed("lang", "r_lang"))
+    resolved = (
+        probes
+        .join(r, (probes.probe == r.from_title) & (probes.probe_lang == r.r_lang), "left")
+        .withColumn("resolved", F.coalesce(F.col("to_title"), F.col("probe")))
+        .drop("from_title", "to_title", "r_lang"))
+    # join keys use the bucketed tables' OWN (un-renamed) attributes: a
+    # rename is a Project with a fresh attribute id, which breaks the scan's
+    # outputPartitioning match and silently re-shuffles the dimension
+    step1 = (resolved
+             .join(a, (resolved.resolved == a["alias"])
+                   & (resolved.probe_lang == a["lang"]), "inner")
+             .drop(a["alias"]).drop(a["lang"]))
+    out = (step1
+           .join(k, (step1.title == k["title"]) & (step1.probe_lang == k["lang"]), "inner")
+           .drop(k["title"]).drop(k["lang"])
+           .filter(F.col("abstract").isNotNull() & (F.col("abstract") != "")))
+    return out
+
+
 def pick_best(candidates: DataFrame) -> DataFrame:
     """O-17/O-27: first-complete-hit-wins via one window; deterministic ties."""
     w = Window.partitionBy("label", "link_lang").orderBy("prio", "alias_prio", "title")

@@ -225,6 +225,62 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
             .select(id_col, F.round("_s", 3).alias("cosine")))
 
 
+def save_ivf_index(df: DataFrame, table: str, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: DataFrame | None = None,
+                   buckets: int = N_CENTROIDS) -> DataFrame:
+    """Materialize the IVF index ONCE as a table bucketed by centroid_id —
+    the build-once regime the ivf_topk docstring promises.
+
+    The assignment column is computed map-side (literal-centroid argmin, no
+    shuffle); the only exchange is the bucketBy write itself — paid once at
+    build, amortized over every query.  Because `centroid_id` is the bucket
+    column, a probe filter `centroid_id IN (<nprobe ids>)` prunes buckets at
+    the SCAN (SelectedBucketsCount in the plan): a query reads ~nprobe/K of
+    the index files, no join, no shuffle — at 10¹² vectors that is the
+    difference between scanning TBs and scanning GBs."""
+    c = centroids if centroids is not None else default_centroids(df, id_col, vec_col)
+    _, cid = _argmin_centroid(vec_col, _collect_centroids(c), _neg_dot_lit)
+    indexed = df.select(F.col(id_col), F.col(vec_col), cid.alias("centroid_id"))
+    from ..sources.bucketed import save_bucketed
+    return save_bucketed(indexed, table, ["centroid_id"], buckets=buckets)
+
+
+def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding", nprobe: int = 1,
+                     centroids: DataFrame | None = None) -> DataFrame:
+    """IVF search against a ``save_ivf_index`` table: rank centroids by
+    query dot, read ONLY the nprobe matching buckets (scan-level bucket
+    pruning via the IN-literal filter), exact cosine inside them.
+
+    Identical results to ``ivf_topk`` at the same nprobe (pytest-asserted);
+    the difference is the physical plan — Scan(pruned buckets) → Project →
+    TakeOrderedAndProject, zero Exchange, zero Join."""
+    import math
+    q = query_vector()
+    qn = math.sqrt(sum(x * x for x in q))
+    # probe on a child session with DisableUnnecessaryBucketedScan off: the
+    # planner rule drops the bucketed layout when no JOIN needs the
+    # distribution, which also silently discards scan-level bucket PRUNING —
+    # the entire point of the index (observed: "Bucketed: false (disabled by
+    # query planner)" and a full-file scan).  newSession shares the catalog
+    # and SparkContext; only this probe's conf differs.
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    idx = s2.table(table)
+    c = centroids if centroids is not None \
+        else default_centroids(idx, id_col, vec_col)
+    probe_ids = [r["centroid_id"] for r in
+                 (c.withColumn("_qd", _dot(F.col("cvec"), q))
+                  .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
+                  .select("centroid_id").collect())]
+    score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (idx.filter(F.col("centroid_id").isin(probe_ids))
+            .select(F.col(id_col), score.alias("_s"))
+            .orderBy(F.desc("_s"), id_col).limit(k)
+            .select(id_col, F.round("_s", 3).alias("cosine")))
+
+
 def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic k-means (fixed iterations, seeds = first k vectors by

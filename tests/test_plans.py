@@ -171,6 +171,93 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_dim_b")
 
 
+def test_ivf_index_probe_prunes_buckets(spark):
+    """save_ivf_index + ivf_topk_indexed: the probe must (a) return exactly
+    the inline ivf_topk result at the same nprobe, and (b) plan as a
+    bucket-pruned scan — SelectedBucketsCount < total, zero Exchange, zero
+    Join (the build-once index regime: a query reads ~nprobe/K of the
+    files)."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    from entity_extractor_linker_api_v2_spark.sources import tables
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    similarity.save_ivf_index(emb, "t_ivf_index")
+    try:
+        for nprobe in (1, 3):
+            got = similarity.ivf_topk_indexed(spark, "t_ivf_index", nprobe=nprobe)
+            want = similarity.ivf_topk(emb, nprobe=nprobe)
+            assert [tuple(r) for r in got.collect()] == \
+                   [tuple(r) for r in want.collect()], f"nprobe={nprobe}"
+        plan = _plan(similarity.ivf_topk_indexed(spark, "t_ivf_index", nprobe=3))
+        import re
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        # ≤ nprobe buckets scanned (ids can hash-collide into one bucket),
+        # strictly fewer than the total — the probe reads ~nprobe/K files
+        assert int(m.group(1)) <= 3 < int(m.group(2)), m.groups()
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_index")
+
+
+def test_bucketed_kb_linking_shuffles_probes_only(spark):
+    """Beyond-broadcast linking regime: with the alias/KB dimensions stored
+    bucketed on their join keys, resolve_candidates_bucketed must (a) pick
+    the same best pages as the broadcast path, and (b) plan every dimension
+    scan WITHOUT an Exchange above it — only the (small) probe relation
+    shuffles to the bucket layout."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_linker_api_v2_spark import fixtures
+    from entity_extractor_linker_api_v2_spark.operators import linking, mentions
+    from entity_extractor_linker_api_v2_spark.operators.extract import extract_and_detect
+    from entity_extractor_linker_api_v2_spark.sources import tables
+
+    ments = extract_and_detect(tables.docs_table(spark, SF_SMALL), dedup=True)
+    keys = ments.select("label", "link_lang").distinct()
+    probes = linking.probe_keys_df(keys)
+    redirects = fixtures.redirects_df(spark)
+
+    broadcast_best = linking.pick_best(linking.resolve_candidates(
+        probes, redirects, fixtures.aliases_df(spark), fixtures.kb_pages_df(spark)))
+    want = {(r["label"], r["link_lang"], r["title"], r["wikidata_id"])
+            for r in broadcast_best.collect()}
+
+    linking.save_kb_bucketed(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cands = linking.resolve_candidates_bucketed(probes, redirects, spark)
+        got = {(r["label"], r["link_lang"], r["title"], r["wikidata_id"])
+               for r in linking.pick_best(cands).collect()}
+        assert got == want
+        plan = _plan(cands)
+        # every Exchange in the plan must sit on the probe lineage, never
+        # directly above a bucketed table scan: walk the tree bottom-up —
+        # the line after a bucketed Scan must not be fed through an Exchange
+        # before its SortMergeJoin (bucketed side arrives pre-partitioned)
+        assert "SortMergeJoin" in plan
+        for tbl in ("kb_aliases_b", "kb_pages_b"):
+            scan_ids = [ln.split(")")[0].strip("( ")
+                        for ln in plan.splitlines()
+                        if ln.strip().startswith("(") and tbl in ln]
+            assert scan_ids, f"no scan node for {tbl}\n{plan}"
+            for sid in scan_ids:
+                # formatted-plan detail: an Exchange whose Input cites the
+                # scan's output would show as "Exchange hashpartitioning"
+                # immediately above the scan in the tree; assert the tree
+                # line above each bucketed scan is a Sort or Join, not an
+                # Exchange
+                tree = [ln for ln in plan.splitlines() if f"({sid})" in ln]
+                above = plan.splitlines()[
+                    max(0, plan.splitlines().index(tree[0]) - 1)]
+                assert "Exchange" not in above, f"{tbl}: {above}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS kb_aliases_b")
+        spark.sql("DROP TABLE IF EXISTS kb_pages_b")
+
+
 def test_entity_cache_survives_session_restart():
     """Two sequential sessions: the second must rebuild the entity relation
     rather than receive persisted frames bound to the first (stopped)
