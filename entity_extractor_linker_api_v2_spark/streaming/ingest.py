@@ -24,10 +24,17 @@ from ..operators.extract import extract_and_detect
 from ..sources.tables import derive_docs
 
 
-def stream_docs(spark: SparkSession, docs_dir: str) -> DataFrame:
-    """File-source stream over driver-shaped documents parquet."""
+def stream_docs(spark: SparkSession, docs_dir: str,
+                max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over driver-shaped documents parquet.
+    `max_files_per_trigger` bounds each micro-batch (availableNow still
+    drains everything, in multiple batches — how the incremental-CC test
+    forces true multi-batch maintenance)."""
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    raw = spark.readStream.schema(schema).parquet(docs_dir)
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = r.parquet(docs_dir)
     return derive_docs(raw)
 
 
@@ -148,3 +155,44 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
             .applyInPandasWithState(
                 _sessionize_fn, _SESSION_OUT, _SESSION_STATE,
                 "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def canonicalize_stream(spark: SparkSession, docs_dir: str, state_dir: str,
+                        checkpoint_dir: str, max_files_per_trigger: int | None = None) -> None:
+    """Streaming incremental canonicalization (O-29's maintenance story,
+    now an actual stream): each micro-batch's linked entities contribute
+    same-as/alias edges, and ``merge_components`` folds them into the
+    persisted (node, comp) state — per-batch cost O(|components| + |batch|),
+    never O(|history|), because the state itself is a star edge relation
+    with the same connectivity as everything already seen.
+
+    State lives as a parquet dir (an Iceberg table at cluster scale — same
+    seam as StageCheckpoint).  The merged frame is eagerly materialized
+    (localCheckpoint) BEFORE the overwrite: the state write truncates the
+    very files the lazy plan would still need to read."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.canonicalize import entity_edges, merge_components
+
+    docs = stream_docs(spark, docs_dir, max_files_per_trigger=max_files_per_trigger)
+    ments = extract_and_detect(docs, dedup=True)
+    resolved = linking.resolve_label_universe(
+        spark, [lbl for _, lbl, _ in fixtures.GAZETTEER])
+    entities = linking.link_mentions_precomputed(ments, resolved)
+
+    def _fold(batch_df, _batch_id):
+        s = batch_df.sparkSession
+        edges = entity_edges(batch_df).localCheckpoint()
+        try:
+            comps = s.read.parquet(state_dir)
+        except AnalysisException:
+            comps = s.createDataFrame([], "node string, comp string")
+        merged = merge_components(comps, edges).localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    q = (entities.writeStream
+         .foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -168,3 +168,38 @@ def test_dedup_stream_drops_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 100                       # 30 dups dropped
     assert got.select("fp").distinct().count() == 100
+
+
+def test_canonicalize_stream_matches_batch(spark, tmp_path):
+    """Streaming incremental canonicalization: fold micro-batches of edges
+    into the persisted component state via merge_components; after draining
+    the corpus (forced into MULTIPLE micro-batches via maxFilesPerTrigger),
+    the state must equal the one-shot batch canonicalization of the same
+    corpus — same (node, comp) pairs, comp = component-minimum member."""
+    from entity_extractor_linker_api_v2_spark.operators.canonicalize import (
+        canonical_entities)
+    from entity_extractor_linker_api_v2_spark.plans.pipeline import run_pipeline
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import (
+        canonicalize_stream)
+
+    docs_dir, state_dir, ck_dir = (str(tmp_path / d) for d in ("docs", "state", "ck"))
+    # split the corpus into 4 files so maxFilesPerTrigger=1 gives 4 batches
+    (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+     .repartition(4).write.parquet(docs_dir))
+
+    canonicalize_stream(spark, docs_dir, state_dir, ck_dir,
+                        max_files_per_trigger=1)
+
+    # the maintenance must have REALLY been incremental: one committed
+    # offset per micro-batch in the checkpoint
+    import os
+    n_batches = len([f for f in os.listdir(os.path.join(ck_dir, "offsets"))
+                     if not f.startswith(".")])
+    assert n_batches >= 4, n_batches
+
+    got = {(r["node"], r["comp"])
+           for r in spark.read.parquet(state_dir).collect()}
+    want_entities = run_pipeline(spark, SF_SMALL, fused=True)["entities"]
+    want = {(r["node"], r["comp"])
+            for r in canonical_entities(want_entities).select("node", "comp").collect()}
+    assert got == want and len(got) > 0
