@@ -190,3 +190,25 @@ def test_universal_minhash_mix_is_permutation_consistent(words):
             for a, b in zip(MINHASH_A, MINHASH_B)]
     assert sig1 == sig2
     assert all(0 <= v < MINHASH_P for v in sig1)
+
+
+# q38's DuckDB oracle re-derives the greedy sentence-packing loop as a
+# recursive CTE with a CLOSED-FORM overlap carry (monotone suffix totals) —
+# subtle enough to deserve a direct property pin against the Python truth.
+@given(st.lists(
+    st.text(alphabet="ab .!?", min_size=1, max_size=40), min_size=1, max_size=8),
+    st.integers(20, 60), st.integers(0, 15))
+@settings(deadline=None, max_examples=40)
+def test_q38_recursive_cte_oracle_matches_split_text(parts, chunk, overlap):
+    import duckdb
+    import pandas as pd
+
+    from entity_extractor_linker_api_v2_spark.plans.oracle import _q38_sql
+
+    text = " ".join(parts)
+    want = [(0, i, c) for i, c in
+            enumerate(refsem.split_text(text, chunk, overlap))]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [0], "text": [text]}))
+    got = con.execute(_q38_sql(chunk, overlap)).fetchall()
+    assert sorted(got) == want, (text, chunk, overlap)

@@ -46,6 +46,9 @@ def test_ivf_topk_recall_vs_brute_force(spark):
 @pytest.mark.parametrize("payload", [
     None, b"", b"<html><p>a\x00b</p><p>c</p></html>", b"no tags at all",
     b"<p>nested <b>tag</b></p>", b"\xff\xfeweird <p>ok</p>",
+    # entity-bearing bodies: the round-4 fast path must route any '&' body
+    # to the exact per-row unescape
+    b"<p>a &amp; b</p>", b"<p>&lt;0&gt;</p>", b"<p>AT&T &amp;&amp; more</p>",
 ])
 def test_extract_series_equals_scalar_on_dirty_input(payload):
     s = pd.Series([payload])
