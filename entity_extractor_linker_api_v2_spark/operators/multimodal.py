@@ -91,6 +91,50 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+EMBED_DIM = 16
+
+EMBED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def media_embed(media: DataFrame, dim: int = EMBED_DIM,
+                decode_stub: bool = True) -> DataFrame:
+    """The multimodal→vector bridge: decode each payload and emit an
+    `array<float>` embedding — the column every similarity operator
+    (brute_force_topk, neardup LSH tables, IVF) consumes unchanged.
+
+    Same honest seam as extract_features: the Arrow batch shape, schema and
+    partitioning are the real pipeline; the stub kernel derives a
+    deterministic vector from the decoded header + byte stats (exact
+    rationals, so a DuckDB oracle replays it), where a real encoder (CLIP /
+    wav2vec / …) would run on the decoded tensor."""
+
+    def run(batches):
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media encoder not available in this container; "
+                    "plug it in here — plan shape is unchanged")
+            out = {"media_id": [], "kind": [], "embedding": []}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                w, h, fr = _decode_header(bytes(payload))
+                body = bytes(payload)[16:]
+                bm = (sum(body) / len(body)) if body else 0.0
+                # last component is a constant bias so no payload can map to
+                # the zero vector (cosine against it would be undefined)
+                vec = [(((bm * (j + 3) + w * (j + 1) + h * (fr + 1)) % 19) - 9) / 10.0
+                       for j in range(dim - 1)] + [1.0]
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["embedding"].append(vec)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, EMBED_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: rewrites the header metadata (the stub 'resize');
     a real kernel would transform payload bytes in the same mapInPandas."""

@@ -940,6 +940,19 @@ SELECT CAST(i AS BIGINT) AS media_id,
        round(CAST(i % 251 AS DOUBLE), 4) AS byte_mean
 FROM range(0, 256) t(i)"""
 
+# media embedding: integer re-derivation of the stub-encoder formula —
+# bm = i % 251 (body is 64 copies of that byte), w/h/fr from the generator;
+# v10[j] = (bm*(j+3) + w*(j+1) + h*(fr+1)) % 19 - 9 is pure integer math,
+# so the ×10-decoded Spark output (float32 → round(e*10)) matches exactly.
+ORACLE["q64_media_embed"] = """
+SELECT CAST(i AS BIGINT) AS media_id,
+       (['image', 'audio', 'video'])[i % 3 + 1] AS kind,
+       array_to_string(list_transform(range(0, 15), j ->
+         CAST(((i % 251) * (j + 3) + (16 + (i % 8) * 16) * (j + 1)
+               + (16 + (i % 5) * 16) * (1 + (i % 4) + 1)) % 19 - 9 AS VARCHAR))
+         || ['10'], '|') AS emb10
+FROM range(0, 256) t(i)"""
+
 ORACLE["q41_frame_sample"] = """
 SELECT CAST(i AS BIGINT) AS media_id,
        CAST(f.f AS INTEGER) AS frame_id,

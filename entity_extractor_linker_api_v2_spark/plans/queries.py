@@ -617,6 +617,22 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "frame_id", F.length("payload").alias("n_bytes")))
 
 
+def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal→vector bridge: payload → decoded stats → deterministic
+    embedding (mapInPandas, the shape a real CLIP/wav2vec kernel drops
+    into).  Output decodes each float back to its exact ×10 integer so the
+    hash compare never touches float formatting; the oracle re-derives the
+    integers from the synth_media generator formulas."""
+    from ..operators import multimodal
+    emb = multimodal.media_embed(multimodal.synth_media(spark, 256))
+    return emb.select(
+        "media_id", "kind",
+        F.array_join(F.transform(
+            "embedding",
+            lambda e: F.round(e * 10).cast("int").cast("string")), "|")
+        .alias("emb10"))
+
+
 # deterministic requested-level strings exercising every closest_level
 # branch: exact, exact-lower, substring (p in level), substring (level in p),
 # no-match fallback, exact case-insensitive with umlaut
@@ -759,6 +775,7 @@ QUERIES = {
     "q33_curate": q_curate,
     "q42_simhash_near_dups": q_simhash_near_dups,
     "q45_canonicalize_incr": q_canonicalize_incremental,
+    "q64_media_embed": q_media_embed,
 }
 
 # Every registered query now has an oracle twin.  q38's stateful greedy

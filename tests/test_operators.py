@@ -419,3 +419,35 @@ def test_merge_components_equals_full_recompute(spark):
             for r in connected_components_star(
                 e1.unionByName(e2)).collect()}
     assert incr == full | {("loner", "loner")}
+
+
+def test_media_embed_bridges_to_similarity_operators(spark):
+    """The multimodal→vector bridge must feed the similarity operators
+    unchanged: duplicate payloads planted under new ids produce identical
+    embeddings, and embedding_near_dups over the bridged frame must surface
+    EVERY planted pair (identical vectors share all buckets); every emitted
+    pair must verify against an independent python cosine."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from entity_extractor_linker_api_v2_spark.operators import multimodal, similarity
+
+    m = multimodal.synth_media(spark, 64)
+    dup = m.withColumn("media_id", F.col("media_id") + 1000)
+    emb = (multimodal.media_embed(m.unionByName(dup))
+           .withColumnRenamed("media_id", "vec_id"))
+
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in similarity.embedding_near_dups(
+                 emb, threshold=0.999, bucket_cap=0).collect()}
+    planted = {(i, i + 1000) for i in range(64)}
+    assert planted <= set(pairs), sorted(planted - set(pairs))[:5]
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    for (a, b), got_cos in pairs.items():
+        u, v = vecs[a], vecs[b]
+        cos = (sum(x * y for x, y in zip(u, v))
+               / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v))))
+        assert abs(round(cos, 3) - float(got_cos)) < 1e-9
+        assert round(cos, 3) >= 0.999
