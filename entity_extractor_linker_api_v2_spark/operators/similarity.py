@@ -286,13 +286,14 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     """Deterministic k-means (fixed iterations, seeds = first k vectors by
     id): the iterative centroid-train step the IVF index plugs into.
 
-    Each iteration is one broadcast crossJoin (n×k distance rows — centroids
-    always broadcast) + an argmin window + ONE shuffle to recompute means:
-    per-dimension avg() aggregates (partial-aggregated map-side), so the
-    exchange carries k×dim partials per map partition — NOT the n×dim
-    exploded rows a posexplode formulation would shuffle.  No randomness and
-    a fixed iteration count make it exactly reproducible — the DuckDB oracle
-    unrolls the same two iterations.
+    Each iteration is a pure map-side argmin over the k driver-collected
+    centroids inlined as one matrix literal (zero corpus shuffle) + ONE
+    shuffle to recompute means: per-dimension avg() aggregates
+    (partial-aggregated map-side), so the exchange carries k×dim partials
+    per map partition — NOT the n×dim exploded rows a posexplode
+    formulation would shuffle.  No randomness and a fixed iteration count
+    make it exactly reproducible — the DuckDB oracle unrolls the same two
+    iterations.
     """
     assigned, _ = _kmeans(df, k, iters, id_col, vec_col)
     return assigned.select(id_col, "cluster")
