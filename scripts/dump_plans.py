@@ -137,6 +137,28 @@ def main() -> None:
         "gone.  At 10^12 vectors this stage is embarrassingly parallel.\n\n"
         "```\n" + plan_of(QUERIES["q49_ivf_assign"](spark, SF)) + "```\n")
 
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    from entity_extractor_linker_api_v2_spark.sources import tables as _tables
+    similarity.save_ivf_index(_tables.load(spark, SF, "embeddings"), "t_ivf_explain")
+    try:
+        probe = similarity.ivf_topk_indexed(spark, "t_ivf_explain", nprobe=3)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            probe.explain("formatted")
+        full = buf.getvalue()
+        bucket_lines = "\n".join(
+            ln for ln in full.splitlines()
+            if "SelectedBucketsCount" in ln or ln.startswith("Bucketed"))
+        sections.append(
+            "## Persisted IVF index probe (round-4)\n\n"
+            "Check: Scan of the bucketed index table with SelectedBucketsCount\n"
+            "< total (the IN-literal probe filter prunes buckets at the scan —\n"
+            "a query reads ~nprobe/K of the files), then Project →\n"
+            "TakeOrderedAndProject; zero Exchange, zero Join.\n\n"
+            "```\n" + plan_of(probe) + bucket_lines + "\n```\n")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_explain")
+
     sections.append(
         "## Closest-level enrich (q13, round-4 shape)\n\n"
         "Check: single Project — the levels list is a literal array of\n"
