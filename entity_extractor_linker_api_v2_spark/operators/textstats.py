@@ -43,10 +43,25 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         ((n_tok >= 10) & (n_chars >= 50)).alias("keep"))
 
 
+# GPT-2-style pre-tokenizer alternation, restricted to the RE2-safe subset
+# (no lookahead) so Spark's Java regex and the DuckDB oracle's RE2 count the
+# SAME matches: contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + subword-ish tokens (alnum runs, a BPE-free proxy)."""
+    """Three token-count columns per doc: whitespace tokens, alnum runs
+    (subword floor) and GPT-2-style pre-tokenizer pieces (the BPE-ish count
+    an LLM-data pipeline budgets with — each piece splits further into ≥1
+    BPE ids, so this is a stable lower bound proportional to real token
+    cost)."""
     return df.select(
         F.col(id_col),
         F.size(F.split(F.trim(text_col), r"\s+")).alias("ws_tokens"),
         F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
-         .alias("alnum_tokens"))
+         .alias("alnum_tokens"),
+        # Column API, not F.expr: the pattern contains a single quote and
+        # backslash classes that SQL-literal escaping would mangle
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0)))
+         .alias("bpeish_tokens"))

@@ -464,11 +464,18 @@ SELECT doc_id,
   (len(string_split(text, ' ')) >= 10 AND length(text) >= 50) AS keep
 FROM documents"""
 
-ORACLE["q27_token_counts"] = """
+def _q27_sql() -> str:
+    from ..operators.textstats import BPE_SPLIT_RE
+    bpe = BPE_SPLIT_RE.replace("'", "''")  # SQL string-literal quote escape
+    return f"""
 SELECT doc_id,
   CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
-  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS alnum_tokens
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS alnum_tokens,
+  CAST(len(regexp_extract_all(text, '{bpe}')) AS INTEGER) AS bpeish_tokens
 FROM documents"""
+
+
+ORACLE["q27_token_counts"] = _q27_sql()
 
 
 def _qvec_cte() -> str:
