@@ -57,6 +57,19 @@ def hyperplane(j: int, dim: int = DIM) -> list[float]:
     return [((i * (j + 2) * 13) % 7 - 3) / 5.0 for i in range(dim)]
 
 
+def extended_plane(k: int, salt: int = 0, dim: int = DIM) -> list[float]:
+    """Plane for the auto-derived (bits > 4) regime.  The legacy mod-7/mod-19
+    families have only 6/18 distinct members (their normals depend on the
+    index modulo a small prime), so derived bit counts beyond that would
+    silently duplicate planes and add zero discrimination.  This family's
+    multiplier is distinct mod 1009 for every k the bit clamp can reach
+    (degenerate only at 2k+3 ≡ 0 mod 1009, i.e. k = 503), and stays exact
+    rationals.  Only the FIRST FOUR legacy planes are oracle-pinned; these
+    extended planes are the deterministic scale path."""
+    m = (2 * k + 3) * 2654435761
+    return [((i * m + k * 40503 + salt) % 1009 - 504) / 504.0 for i in range(dim)]
+
+
 def _dot(vec_col, const: list[float]):
     c = F.array(*[F.lit(float(x)) for x in const])
     return F.aggregate(F.zip_with(vec_col, c, lambda a, b: a.cast("double") * b),
@@ -87,16 +100,13 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
     the historical N_PLANES=4, which is what the static oracle SQL pins."""
     if n_planes is None:
         n_planes = derived_bits(_approx_n(df, id_col))
-    # skip the mod-7 family's degenerate indices (j+2 ≡ 0 mod 7 → constant
-    # normal → constant bit); the first four usable js are 0..3, so the
-    # oracle-pinned 4-plane buckets are unchanged
-    js, j = [], 0
-    while len(js) < n_planes:
-        if (j + 2) % 7 != 0:
-            js.append(j)
-        j += 1
-    bits = [F.when(F.round(_dot(F.col(vec_col), hyperplane(j)), 6) >= 0, F.lit("1"))
-            .otherwise(F.lit("0")) for j in js]
+    # planes 0..3 are the legacy oracle-pinned family (non-degenerate for
+    # these js); anything beyond comes from the large-modulus extended
+    # family — the legacy family has only 6 distinct members (period 7)
+    planes = ([hyperplane(j) for j in range(min(n_planes, N_PLANES))]
+              + [extended_plane(j) for j in range(N_PLANES, n_planes)])
+    bits = [F.when(F.round(_dot(F.col(vec_col), p), 6) >= 0, F.lit("1"))
+            .otherwise(F.lit("0")) for p in planes]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
@@ -111,7 +121,10 @@ def default_centroids(df: DataFrame, id_col: str = "vec_id",
     per-row assignment cost scaled with the corpus (125 centroids at the
     sf0.1 bench, 10¹¹ at 100 TB) instead of being a chosen index
     parameter."""
-    return (df.filter(F.col(id_col) < N_CENTROIDS)
+    # orderBy+limit (TakeOrderedAndProject), not filter(id < K): identical on
+    # dense 0-based ids (what the oracle pins) but still yields K centroids
+    # when ids are offset or hashed
+    return (df.orderBy(id_col).limit(N_CENTROIDS)
             .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")))
 
 
@@ -120,6 +133,9 @@ def _collect_centroids(c: DataFrame) -> list[tuple[int, list[float]]]:
     At 10¹² vectors the centroid set is still driver-small; inlining it as
     literals keeps the corpus map-side (no n×K shuffle)."""
     rows = c.select("centroid_id", "cvec").collect()
+    if not rows:
+        raise ValueError("empty centroid relation — an empty candidate array "
+                         "would silently assign NULL centroid_id to every row")
     return sorted(((r["centroid_id"], list(r["cvec"])) for r in rows),
                   key=lambda t: t[0])
 
@@ -210,8 +226,12 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
               .select("centroid_id"))
     score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
     if index is not None:
-        # prebuilt (materialized/bucketed) index: probe-list broadcast join
-        probed = df.join(index, id_col).join(F.broadcast(best_c), "centroid_id")
+        # prebuilt (materialized/bucketed) index: probe-list broadcast join.
+        # Project the index to (id, centroid_id) first — a save_ivf_index
+        # table also carries the vector column, which would make the score's
+        # embedding reference ambiguous after the join
+        probed = (df.join(index.select(id_col, "centroid_id"), id_col)
+                  .join(F.broadcast(best_c), "centroid_id"))
     else:
         # inline path: assignment is a map-side literal-centroid argmax, so
         # the probe filter is Project + broadcast join — the corpus is
@@ -242,6 +262,9 @@ def save_ivf_index(df: DataFrame, table: str, id_col: str = "vec_id",
     c = centroids if centroids is not None else default_centroids(df, id_col, vec_col)
     _, cid = _argmin_centroid(vec_col, _collect_centroids(c), _neg_dot_lit)
     indexed = df.select(F.col(id_col), F.col(vec_col), cid.alias("centroid_id"))
+    # persist the centroid dimension beside the index: probes rank against
+    # it directly instead of re-scanning the full index per query
+    c.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_centroids")
     from ..sources.bucketed import save_bucketed
     return save_bucketed(indexed, table, ["centroid_id"], buckets=buckets)
 
@@ -269,7 +292,7 @@ def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
     s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     idx = s2.table(table)
     c = centroids if centroids is not None \
-        else default_centroids(idx, id_col, vec_col)
+        else s2.table(f"{table}_centroids")
     probe_ids = [r["centroid_id"] for r in
                  (c.withColumn("_qd", _dot(F.col("cvec"), q))
                   .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
@@ -365,16 +388,16 @@ def neardup_plane(t: int, b: int, dim: int = DIM) -> list[float]:
     return [((i * m * 13 + t) % 19 - 9) / 10.0 for i in range(dim)]
 
 
-def _valid_plane_idxs(t: int, bits: int) -> list[int]:
-    """First `bits` plane indices for table `t`, skipping the family's
-    degenerate (constant-normal) members (7t+b+2 ≡ 0 mod 19).  For the
-    oracle-pinned defaults (t ∈ {0,1}, bits=4) this is b = 0..3 unchanged."""
-    bs, b = [], 0
-    while len(bs) < bits:
-        if (7 * t + b + 2) % 19 != 0:
-            bs.append(b)
-        b += 1
-    return bs
+def _table_planes(t: int, bits: int) -> list[list[float]]:
+    """The `bits` hyperplanes of table `t`: b = 0..3 from the legacy
+    oracle-pinned mod-19 family (non-degenerate for every (t, b) the
+    defaults reach), anything beyond from the large-modulus extended family
+    (the mod-19 family has ≤ 18 distinct members per table, so deriving
+    more bits from it would duplicate planes)."""
+    legacy = [neardup_plane(t, b) for b in range(min(bits, NEARDUP_BITS))]
+    ext = [extended_plane(7 * t + b, salt=t + 1)
+           for b in range(NEARDUP_BITS, bits)]
+    return legacy + ext
 
 
 def neardup_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -400,9 +423,9 @@ def neardup_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
         bits = derived_bits(_approx_n(df, id_col))
 
     def bucket_str(t):
-        bs = [F.when(F.round(_dot(F.col(vec_col), neardup_plane(t, b)), 6) >= 0,
+        bs = [F.when(F.round(_dot(F.col(vec_col), p), 6) >= 0,
                      F.lit("1")).otherwise(F.lit("0"))
-              for b in _valid_plane_idxs(t, bits)]
+              for p in _table_planes(t, bits)]
         return F.concat(*bs)
 
     tb = df.select(F.col(id_col),

@@ -43,11 +43,14 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         ((n_tok >= 10) & (n_chars >= 50)).alias("keep"))
 
 
-# GPT-2-style pre-tokenizer alternation, restricted to the RE2-safe subset
-# (no lookahead) so Spark's Java regex and the DuckDB oracle's RE2 count the
-# SAME matches: contraction suffixes, space-prefixed letter runs, digit
-# runs, punctuation runs, whitespace runs.
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# GPT-2-style pre-tokenizer alternation, restricted to the subset Spark's
+# Java regex and the DuckDB oracle's RE2 count IDENTICALLY: no lookahead
+# (RE2 lacks it), and whitespace spelled as an explicit class — Java's \s
+# includes \x0B (vertical tab) while RE2's does not, so a bare \s makes the
+# engines split differently around VT characters.
+_WS_CLS = r" \t\n\x0B\f\r"
+BPE_SPLIT_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+                rf"| ?[^{_WS_CLS}\p{{L}}\p{{N}}]+|[{_WS_CLS}]+")
 
 
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -51,17 +51,28 @@ def _capped_fused(spark, sf_dir):
 # linked-entity relation; in one SparkSession (the driver runs all queries in
 # one) the relation is built and persisted ONCE — the in-session analog of
 # the StageCheckpoint boundary a production run would materialize it at.
-# WeakKeyDictionary keyed by the SparkSession OBJECT (not id(): a stopped
-# session's id can be reused by a new object, which would hand out persisted
-# frames bound to a dead SparkContext); when the session is garbage-collected
-# its cached frames drop with it.  Results are identical either way (persist
-# caches, it never changes semantics).
+# Keyed by the SparkSession OBJECT (not id(): a stopped session's id can be
+# reused by a new object, which would hand out persisted frames bound to a
+# dead SparkContext).  The weakref alone cannot free an entry — the cached
+# DataFrames strongly reference their session, so key and value form a cycle
+# the WeakKeyDictionary never breaks — hence the explicit session cap:
+# beyond _MAX_SESSIONS tracked sessions the oldest entry is evicted and its
+# frames unpersisted, bounding what stopped sessions can pin.  Results are
+# identical either way (persist caches, it never changes semantics).
 import weakref
 
 _ENTITY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_MAX_SESSIONS = 4
 
 
 def _entities(spark, sf_dir):
+    if spark not in _ENTITY_CACHE and len(_ENTITY_CACHE) >= _MAX_SESSIONS:
+        oldest = next(iter(_ENTITY_CACHE))
+        for df in _ENTITY_CACHE.pop(oldest, {}).values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # stopped context: its cached blocks are already gone
     per = _ENTITY_CACHE.setdefault(spark, {})
     if sf_dir not in per:
         # persist the mention table: it feeds both the probe-key distinct
@@ -327,8 +338,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_planes pinned to the oracle's static 4 — the AUTO derivation (the
+    # operator default) is size-dependent, which would make the oracle
+    # contract silently depend on which sf the gate runs at; the auto path
+    # is verified separately by the two-corpus-size planted-cluster test
     from ..operators import similarity
-    return similarity.lsh_buckets(tables.load(spark, sf_dir, "embeddings"))
+    return similarity.lsh_buckets(tables.load(spark, sf_dir, "embeddings"),
+                                  n_planes=similarity.N_PLANES)
 
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,9 +366,11 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bits pinned to the oracle's static 4 (see q_ann_lsh_buckets note)
     from ..operators import similarity
     return similarity.embedding_near_dups(tables.load(spark, sf_dir, "embeddings"),
-                                          threshold=0.2)
+                                          threshold=0.2,
+                                          bits=similarity.NEARDUP_BITS)
 
 
 # ---------------------------------------------------------------------------
@@ -717,6 +735,13 @@ def q_canonicalize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.withColumn("canonical_id", F.sha2(F.col("comp"), 256))
 
 
+# Key numbering note: the round-3 review asked for the highest-value queries
+# (closest-level, stats envelope, curate, simhash near-dups, incremental CC)
+# to be folded into the externally checked first-50 window, so in round 4
+# they took over freed low numbers (q13/q15/q33/q42/q45) and the subsumed
+# one-expression queries they displaced moved to q59-q63 (still registered,
+# still locally parity-checked).  qNN prefixes are therefore NOT stable
+# across rounds - longitudinal comparisons must key on the name suffix.
 QUERIES = {
     "q01_docs_derive": q_docs_derive,
     "q02_clean_text": q_clean_text,

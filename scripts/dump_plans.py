@@ -158,6 +158,7 @@ def main() -> None:
             "```\n" + plan_of(probe) + bucket_lines + "\n```\n")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_explain")
+        spark.sql("DROP TABLE IF EXISTS t_ivf_explain_centroids")
 
     sections.append(
         "## Closest-level enrich (q13, round-4 shape)\n\n"

@@ -198,6 +198,7 @@ def test_ivf_index_probe_prunes_buckets(spark):
         assert "Join" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_index")
+        spark.sql("DROP TABLE IF EXISTS t_ivf_index_centroids")
 
 
 def test_bucketed_kb_linking_shuffles_probes_only(spark):
