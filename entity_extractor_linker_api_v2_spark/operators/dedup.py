@@ -208,6 +208,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 SIMHASH_BANDS = 4   # 32 bits -> 4 bands of 8; Hamming<=3 ==> >=1 band equal
 
 
+def simhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_id, band_key) bit-band relation of a (id, simhash) frame —
+    the candidate-generator key shared by the batch near-dup join and the
+    streaming maintenance fold."""
+    return sh.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.substring("simhash", 1 + 8 * b, 8)
+                               for b in range(SIMHASH_BANDS)]))
+        .alias("band_id", "band_key"))
+
+
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
                       bucket_cap: int = BUCKET_CAP) -> DataFrame:
@@ -226,11 +237,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             f"of the {SIMHASH_BANDS}-band generator (complete only for "
             f"Hamming <= {SIMHASH_BANDS - 1}); raise SIMHASH_BANDS instead")
     sh = simhash(df, id_col, text_col)
-    bands = sh.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.substring("simhash", 1 + 8 * b, 8)
-                               for b in range(SIMHASH_BANDS)]))
-        .alias("band_id", "band_key"))
+    bands = simhash_bands(sh, id_col)
     if bucket_cap:
         w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
         bands = (bands.withColumn("_rn", F.row_number().over(w))

@@ -203,3 +203,29 @@ def test_canonicalize_stream_matches_batch(spark, tmp_path):
     want = {(r["node"], r["comp"])
             for r in canonical_entities(want_entities).select("node", "comp").collect()}
     assert got == want and len(got) > 0
+
+
+def test_neardup_stream_matches_batch(spark, tmp_path):
+    """Streaming near-dup maintenance: pairs accumulated across 4 real
+    micro-batches (new docs band-joined against batch + history) must equal
+    the one-shot batch simhash_near_dups over the full corpus — every true
+    pair emitted exactly once, at the batch where its later member arrives."""
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import neardup_stream
+
+    docs_dir, state_dir, pairs_dir, ck_dir = (
+        str(tmp_path / d) for d in ("docs", "state", "pairs", "ck"))
+    (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+     .repartition(4).write.parquet(docs_dir))
+
+    neardup_stream(spark, docs_dir, state_dir, pairs_dir, ck_dir,
+                   max_files_per_trigger=1)
+
+    got = [(r["a"], r["b"], r["hamming"])
+           for r in spark.read.parquet(pairs_dir).collect()]
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+    want = {(r["a"], r["b"], r["hamming"])
+            for r in dedup.simhash_near_dups(
+                spark.read.parquet(f"{SF_SMALL}/documents.parquet"),
+                bucket_cap=0).collect()}
+    assert set(got) == want and len(want) > 0
