@@ -451,3 +451,27 @@ def test_media_embed_bridges_to_similarity_operators(spark):
                / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v))))
         assert abs(round(cos, 3) - float(got_cos)) < 1e-9
         assert round(cos, 3) >= 0.999
+
+
+def test_extended_lsh_planes_are_distinct():
+    """Guard for the round-4 review finding: the legacy mod-7/mod-19 plane
+    families have only 6/18 distinct members, so derived bit counts beyond
+    the legacy four must draw from the extended family — and the full plane
+    list at the clamp maximum (24 bits) must contain no duplicate normals,
+    per table and across tables."""
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+
+    # lsh_buckets family at max derived planes
+    planes = ([tuple(similarity.hyperplane(j)) for j in range(4)]
+              + [tuple(similarity.extended_plane(j)) for j in range(4, 24)])
+    assert len(set(planes)) == len(planes)
+    assert not any(len(set(p)) == 1 for p in planes)  # no constant normals
+
+    # neardup tables at max derived bits
+    all_planes = []
+    for t in range(similarity.NEARDUP_TABLES):
+        tp = [tuple(p) for p in similarity._table_planes(t, 24)]
+        assert len(set(tp)) == len(tp), f"table {t} has duplicate planes"
+        all_planes.extend(tp)
+    assert len(set(all_planes)) == len(all_planes), "cross-table duplicates"
+    assert not any(len(set(p)) == 1 for p in all_planes)
