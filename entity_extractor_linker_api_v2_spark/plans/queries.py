@@ -735,13 +735,20 @@ def q_canonicalize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.withColumn("canonical_id", F.sha2(F.col("comp"), 256))
 
 
-# Key numbering note: the round-3 review asked for the highest-value queries
-# (closest-level, stats envelope, curate, simhash near-dups, incremental CC)
-# to be folded into the externally checked first-50 window, so in round 4
-# they took over freed low numbers (q13/q15/q33/q42/q45) and the subsumed
-# one-expression queries they displaced moved to q59-q63 (still registered,
-# still locally parity-checked).  qNN prefixes are therefore NOT stable
-# across rounds - longitudinal comparisons must key on the name suffix.
+# Key ORDERING note (round 5): the external driver hash-checks the FIRST 50
+# entries of this dict in INSERTION order (proven by CORRECTNESS_r04.json's
+# key sequence), NOT the first 50 sorted keys — round 4 renamed the
+# high-value queries into low key numbers but left them at insertion
+# positions 51+, so they were never driver-checked.  The dict literal below
+# is therefore ordered so that the externally checked window is EXACTLY the
+# first 50 entries as written: the six high-value queries (closest-level,
+# stats envelope, curate, simhash near-dups, incremental CC, media embed)
+# sit inside it; the subsumed one-expression queries (q59-q63), the
+# generation demos (q53/q54) and q36 (bibliography refs — its operators
+# O-31/O-44 stay driver-covered via q47_compendium) sit after position 50,
+# still registered and still locally parity-checked by
+# tests/test_oracle_parity.py.  qNN prefixes are NOT stable across rounds —
+# longitudinal comparisons must key on the name suffix.
 QUERIES = {
     "q01_docs_derive": q_docs_derive,
     "q02_clean_text": q_clean_text,
@@ -755,9 +762,9 @@ QUERIES = {
     "q10_best_pick": q_best_pick,
     "q11_entities": q_entities,
     "q12_triples": q_triples,
-    "q59_nodes": q_nodes,
+    "q13_closest_level": q_closest_level,
     "q14_types_distribution": q_types_distribution,
-    "q60_top10_categories": q_top10_categories,
+    "q15_stats_envelope": q_stats_envelope,
     "q16_top10_all": q_top10_all,
     "q17_linked_stats": q_linked_stats,
     "q18_extraction_stats": q_extraction_stats,
@@ -775,32 +782,33 @@ QUERIES = {
     "q30_embed_near_dups": q_embed_near_dups,
     "q31_events_hourly": q_events_hourly,
     "q32_sessionize": q_sessionize,
-    "q61_split_text_char": q_split_text_char,
+    "q33_curate": q_curate,
     "q34_qa_distribution": q_qa_distribution,
-    "q62_topic_extract": q_topic_extract,
-    "q36_compendium_refs": q_compendium_refs,
     "q37_entity_context": q_entity_context,
     "q38_split_sentences": q_split_sentences,
     "q39_qa_parse": q_qa_parse,
     "q40_media_features": q_media_features,
     "q41_frame_sample": q_frame_sample,
-    "q63_category_strip": q_category_strip,
+    "q42_simhash_near_dups": q_simhash_near_dups,
     "q43_json_props": q_json_props,
     "q44_kb_build": q_kb_build,
+    "q45_canonicalize_incr": q_canonicalize_incremental,
     "q46_simhash": q_simhash,
     "q47_compendium": q_compendium,
     "q48_qa_pairs": q_qa_pairs,
     "q49_ivf_assign": q_ivf_assign,
     "q50_ivf_topk": q_ivf_topk,
     "q51_kmeans": q_kmeans,
-    "q13_closest_level": q_closest_level,
+    "q64_media_embed": q_media_embed,
+    # ---- insertion position 51+: registered, oracle'd, locally checked ----
+    "q36_compendium_refs": q_compendium_refs,
     "q53_synonyms": q_synonyms,
     "q54_translate": q_translate,
-    "q15_stats_envelope": q_stats_envelope,
-    "q33_curate": q_curate,
-    "q42_simhash_near_dups": q_simhash_near_dups,
-    "q45_canonicalize_incr": q_canonicalize_incremental,
-    "q64_media_embed": q_media_embed,
+    "q59_nodes": q_nodes,
+    "q60_top10_categories": q_top10_categories,
+    "q61_split_text_char": q_split_text_char,
+    "q62_topic_extract": q_topic_extract,
+    "q63_category_strip": q_category_strip,
 }
 
 # Every registered query now has an oracle twin.  q38's stateful greedy
