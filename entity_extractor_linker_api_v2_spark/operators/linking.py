@@ -107,16 +107,18 @@ def resolve_candidates(probes: DataFrame,
 
 def save_kb_bucketed(spark, aliases: DataFrame | None = None,
                      kb: DataFrame | None = None, prefix: str = "kb",
-                     buckets: int = 8) -> None:
+                     buckets: int = 8, path: str | None = None) -> None:
     """Ingest-time half of the beyond-broadcast linking regime: persist the
     alias dictionary bucketed on its join key (alias, lang) and the KB page
     table bucketed on (title, lang).  Paid once; every subsequent linking
     job joins against them without ever shuffling the dimension."""
     from ..sources.bucketed import save_bucketed
     save_bucketed(aliases if aliases is not None else aliases_df(spark),
-                  f"{prefix}_aliases_b", ["alias", "lang"], buckets=buckets)
+                  f"{prefix}_aliases_b", ["alias", "lang"], buckets=buckets,
+                  path=None if path is None else f"{path}/aliases_b")
     save_bucketed(kb if kb is not None else kb_pages_df(spark),
-                  f"{prefix}_pages_b", ["title", "lang"], buckets=buckets)
+                  f"{prefix}_pages_b", ["title", "lang"], buckets=buckets,
+                  path=None if path is None else f"{path}/pages_b")
 
 
 def resolve_candidates_bucketed(probes: DataFrame, redirects: DataFrame,

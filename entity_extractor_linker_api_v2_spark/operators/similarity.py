@@ -248,7 +248,8 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
 def save_ivf_index(df: DataFrame, table: str, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    centroids: DataFrame | None = None,
-                   buckets: int = N_CENTROIDS) -> DataFrame:
+                   buckets: int = N_CENTROIDS,
+                   path: str | None = None) -> DataFrame:
     """Materialize the IVF index ONCE as a table bucketed by centroid_id —
     the build-once regime the ivf_topk docstring promises.
 
@@ -264,9 +265,39 @@ def save_ivf_index(df: DataFrame, table: str, id_col: str = "vec_id",
     indexed = df.select(F.col(id_col), F.col(vec_col), cid.alias("centroid_id"))
     # persist the centroid dimension beside the index: probes rank against
     # it directly instead of re-scanning the full index per query
-    c.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_centroids")
+    cw = c.write.mode("overwrite").format("parquet")
+    if path is not None:
+        cw = cw.option("path", f"{path}/centroids")
+    cw.saveAsTable(f"{table}_centroids")
     from ..sources.bucketed import save_bucketed
-    return save_bucketed(indexed, table, ["centroid_id"], buckets=buckets)
+    return save_bucketed(indexed, table, ["centroid_id"], buckets=buckets,
+                         path=None if path is None else f"{path}/index")
+
+
+# One probe session per SparkContext, created lazily and reused: probing on
+# a child session with DisableUnnecessaryBucketedScan off is required — the
+# planner rule drops the bucketed layout when no JOIN needs the
+# distribution, which also silently discards scan-level bucket PRUNING, the
+# entire point of the index (observed: "Bucketed: false (disabled by query
+# planner)" and a full-file scan).  newSession() shares the catalog and
+# SparkContext; only the probe conf differs.  Cached (keyed by
+# applicationId, capped) so a hot probe path doesn't accumulate one session
+# per call for the life of the SparkContext.
+_PROBE_SESSIONS: dict[str, "SparkSession"] = {}
+_MAX_PROBE_SESSIONS = 4
+
+
+def _probe_session(spark):
+    app_id = spark.sparkContext.applicationId
+    s2 = _PROBE_SESSIONS.get(app_id)
+    if s2 is None:
+        while len(_PROBE_SESSIONS) >= _MAX_PROBE_SESSIONS:
+            _PROBE_SESSIONS.pop(next(iter(_PROBE_SESSIONS)))
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                    "false")
+        _PROBE_SESSIONS[app_id] = s2
+    return s2
 
 
 def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
@@ -278,18 +309,16 @@ def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
 
     Identical results to ``ivf_topk`` at the same nprobe (pytest-asserted);
     the difference is the physical plan — Scan(pruned buckets) → Project →
-    TakeOrderedAndProject, zero Exchange, zero Join."""
+    TakeOrderedAndProject, zero Exchange, zero Join.
+
+    The returned frame is bound to a cached probe CHILD session (same
+    SparkContext and catalog, different conf — see _probe_session); collect
+    it or write it, but don't join it against frames from the parent
+    session (cross-session plans fail)."""
     import math
     q = query_vector()
     qn = math.sqrt(sum(x * x for x in q))
-    # probe on a child session with DisableUnnecessaryBucketedScan off: the
-    # planner rule drops the bucketed layout when no JOIN needs the
-    # distribution, which also silently discards scan-level bucket PRUNING —
-    # the entire point of the index (observed: "Bucketed: false (disabled by
-    # query planner)" and a full-file scan).  newSession shares the catalog
-    # and SparkContext; only this probe's conf differs.
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s2 = _probe_session(spark)
     idx = s2.table(table)
     c = centroids if centroids is not None \
         else s2.table(f"{table}_centroids")

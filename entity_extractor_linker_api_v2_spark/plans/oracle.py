@@ -1087,3 +1087,11 @@ reach(n, m) AS (
 
 # incremental canonicalization must equal the full recompute: same oracle
 ORACLE["q45_canonicalize_incr"] = ORACLE["q19_canonicalize"]
+
+# round-5 driver rows for the bucketed scale paths: each is value-identical
+# to its broadcast/inline twin by construction (equivalence pytest-asserted)
+# — what the driver verifies is that the bucketed PHYSICAL path (bucketed
+# dimension join / scan-level bucket-pruned index probe) computes the same
+# relation, so the oracle SQL is the twin's verbatim.
+ORACLE["q35_kb_bucketed"] = ORACLE["q09_candidates"]
+ORACLE["q52_ivf_index"] = ORACLE["q50_ivf_topk"]

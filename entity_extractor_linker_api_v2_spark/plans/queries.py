@@ -208,6 +208,31 @@ def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("label", "link_lang", "probe_lang", "title", "wikidata_id")
 
 
+def _scratch(tag: str) -> str:
+    """Fresh temp dir for external-table data written by registry queries:
+    the grading driver's cwd (= default warehouse dir) is not ours to write,
+    so bucketed tables built inside a query go to an explicit path."""
+    import tempfile
+    return tempfile.mkdtemp(prefix=f"eel_{tag}_")
+
+
+def q_kb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-15's beyond-broadcast regime, driver-verified: the alias/KB
+    dimensions are persisted hash-bucketed on their join keys
+    (save_kb_bucketed) and the candidate lookup joins against the bucketed
+    tables — only the probe relation shuffles, the dimension side scans in
+    place (plan-asserted in tests/test_plans.py).  Values are identical to
+    the broadcast path, so the oracle is q09's SQL verbatim: the driver
+    hash-checks that the bucketed PHYSICAL path computes the same relation."""
+    from ..fixtures import redirects_df
+    keys = _capped(spark, sf_dir).select("label", "link_lang").distinct()
+    p = linking.probe_keys_df(keys)
+    linking.save_kb_bucketed(spark, prefix="q35kb", path=_scratch("q35kb"))
+    c = linking.resolve_candidates_bucketed(p, redirects_df(spark), spark,
+                                            prefix="q35kb")
+    return c.select("label", "link_lang", "probe_lang", "title", "wikidata_id")
+
+
 def q_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures import aliases_df, kb_pages_df, redirects_df
     keys = _capped(spark, sf_dir).select("label", "link_lang").distinct()
@@ -363,6 +388,20 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations unrolled in SQL."""
     from ..operators import similarity
     return similarity.kmeans_assign(tables.load(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once IVF index, driver-verified: save_ivf_index writes the
+    corpus bucketed by centroid_id (external path — see _scratch), then
+    ivf_topk_indexed probes it with scan-level bucket pruning
+    (SelectedBucketsCount, plan-asserted in tests/test_plans.py) — no join,
+    no shuffle.  Same dials as q50_ivf_topk, so results are identical and
+    the oracle is q50's SQL verbatim: the driver hash-checks the pruned
+    physical path against the inline argmin formulation."""
+    from ..operators import similarity
+    emb = tables.load(spark, sf_dir, "embeddings")
+    similarity.save_ivf_index(emb, "q52ivf", path=_scratch("q52ivf"))
+    return similarity.ivf_topk_indexed(spark, "q52ivf")
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,12 +822,11 @@ QUERIES = {
     "q31_events_hourly": q_events_hourly,
     "q32_sessionize": q_sessionize,
     "q33_curate": q_curate,
-    "q34_qa_distribution": q_qa_distribution,
+    "q35_kb_bucketed": q_kb_bucketed,
     "q37_entity_context": q_entity_context,
     "q38_split_sentences": q_split_sentences,
     "q39_qa_parse": q_qa_parse,
     "q40_media_features": q_media_features,
-    "q41_frame_sample": q_frame_sample,
     "q42_simhash_near_dups": q_simhash_near_dups,
     "q43_json_props": q_json_props,
     "q44_kb_build": q_kb_build,
@@ -799,9 +837,12 @@ QUERIES = {
     "q49_ivf_assign": q_ivf_assign,
     "q50_ivf_topk": q_ivf_topk,
     "q51_kmeans": q_kmeans,
+    "q52_ivf_index": q_ivf_index,
     "q64_media_embed": q_media_embed,
     # ---- insertion position 51+: registered, oracle'd, locally checked ----
+    "q34_qa_distribution": q_qa_distribution,
     "q36_compendium_refs": q_compendium_refs,
+    "q41_frame_sample": q_frame_sample,
     "q53_synonyms": q_synonyms,
     "q54_translate": q_translate,
     "q59_nodes": q_nodes,
