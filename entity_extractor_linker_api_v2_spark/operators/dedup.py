@@ -208,12 +208,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 SIMHASH_BANDS = 4   # 32 bits -> 4 bands of 8; Hamming<=3 ==> >=1 band equal
 
 
-def simhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def simhash_bands(sh: DataFrame, id_col: str = "doc_id",
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """(id, band_id, band_key) bit-band relation of a (id, simhash) frame —
     the candidate-generator key shared by the batch near-dup join and the
-    streaming maintenance fold."""
+    streaming maintenance fold.  `carry` propagates extra columns (e.g. the
+    simhash itself, so the streaming fold's Hamming verify needs no second
+    scan of the history)."""
     return sh.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(c) for c in carry],
         F.posexplode(F.array(*[F.substring("simhash", 1 + 8 * b, 8)
                                for b in range(SIMHASH_BANDS)]))
         .alias("band_id", "band_key"))

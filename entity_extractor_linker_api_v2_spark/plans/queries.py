@@ -65,7 +65,22 @@ _ENTITY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _MAX_SESSIONS = 4
 
 
+# Cache observability: _entities() itself records one event per call (True =
+# served from the session cache) — bench.py drains this to label chain-query
+# timings as cached-prefix vs full-lineage.  Recording at the source replaces
+# the old inspect.getsource substring grep, which a helper rename or an
+# indirect call would silently break (round-4 advice).
+_CACHE_EVENTS: list[bool] = []
+
+
+def drain_entity_cache_events() -> list[bool]:
+    """Return and clear the per-call hit/miss events since the last drain."""
+    events, _CACHE_EVENTS[:] = list(_CACHE_EVENTS), []
+    return events
+
+
 def _entities(spark, sf_dir):
+    _CACHE_EVENTS.append(sf_dir in _ENTITY_CACHE.get(spark, {}))
     if spark not in _ENTITY_CACHE and len(_ENTITY_CACHE) >= _MAX_SESSIONS:
         oldest = next(iter(_ENTITY_CACHE))
         for df in _ENTITY_CACHE.pop(oldest, {}).values():

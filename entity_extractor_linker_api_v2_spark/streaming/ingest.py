@@ -157,22 +157,90 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
                 "append", GroupStateTimeout.EventTimeTimeout))
 
 
+# ---------------------------------------------------------------------------
+# incremental maintenance folds (foreachBatch)
+#
+# Both folds share one durability design (round-4 review items):
+#   * every per-batch write lands in its OWN batch_id=<N> partition dir with
+#     mode("overwrite") — foreachBatch is at-least-once, so a batch replayed
+#     after a crash between any write and the checkpoint commit simply
+#     rewrites the same dirs with the same content (idempotent), instead of
+#     double-appending;
+#   * a commit MARKER (commits/batch_id=<N>) is written LAST; a replay of a
+#     fully committed batch is skipped outright;
+#   * state is append-only deltas — the fold never rewrites O(|history|)
+#     state per batch.
+# At cluster scale the parquet-dir state is an Iceberg table (same seam as
+# StageCheckpoint) and the vacuum/compaction below is table maintenance.
+# ---------------------------------------------------------------------------
+
+
+def _is_committed(s: SparkSession, commits_dir: str, batch_id: int) -> bool:
+    from pyspark.errors import AnalysisException
+    try:
+        return (s.read.parquet(commits_dir)
+                .filter(F.col("batch_id") == batch_id).count() > 0)
+    except AnalysisException:
+        return False
+
+
+def _mark_committed(s: SparkSession, commits_dir: str, batch_id: int) -> None:
+    (s.createDataFrame([(int(batch_id),)], "committed long")
+     .write.mode("overwrite").parquet(f"{commits_dir}/batch_id={batch_id}"))
+
+
+def _local_partition_ids(path: str) -> list[int]:
+    """batch_id partition values under a LOCAL state dir (compaction probe;
+    on an object store / Iceberg this is snapshot metadata, not a listing).
+    Returns [] when the listing is unavailable — compaction is then skipped,
+    which only defers the vacuum, never changes results."""
+    import os
+    try:
+        return sorted(int(d.split("=", 1)[1]) for d in os.listdir(path)
+                      if d.startswith("batch_id="))
+    except (OSError, ValueError):
+        return []
+
+
+def read_components(spark: SparkSession, state_dir: str,
+                    exclude_batch: int | None = None) -> DataFrame:
+    """Current (node, comp) view of a ``canonicalize_stream`` state dir:
+    latest-batch-wins over the append-only delta partitions.
+
+    `exclude_batch` is the fold's replay guard: a fold reads the state AS OF
+    the batch before its own, so a replayed batch recomputes the IDENTICAL
+    delta instead of diffing against a state that already contains its own
+    partial write (partition-pruned, like the neardup probe)."""
+    from pyspark.errors import AnalysisException
+    try:
+        raw = spark.read.option("basePath", f"{state_dir}/comps") \
+            .parquet(f"{state_dir}/comps")
+    except AnalysisException:
+        return spark.createDataFrame([], "node string, comp string")
+    if exclude_batch is not None:
+        raw = raw.filter(F.col("batch_id") != exclude_batch)
+    return (raw.groupBy("node")
+            .agg(F.max_by("comp", "batch_id").alias("comp")))
+
+
 def canonicalize_stream(spark: SparkSession, docs_dir: str, state_dir: str,
-                        checkpoint_dir: str, max_files_per_trigger: int | None = None) -> None:
+                        checkpoint_dir: str,
+                        max_files_per_trigger: int | None = None,
+                        compact_every: int = 8) -> None:
     """Streaming incremental canonicalization (O-29's maintenance story,
     now an actual stream): each micro-batch's linked entities contribute
     same-as/alias edges, and ``merge_components`` folds them into the
-    persisted (node, comp) state — per-batch cost O(|components| + |batch|),
-    never O(|history|), because the state itself is a star edge relation
-    with the same connectivity as everything already seen.
+    persisted (node, comp) state.
 
-    State lives as a parquet dir (an Iceberg table at cluster scale — same
-    seam as StageCheckpoint).  The merged frame is eagerly materialized
-    (localCheckpoint) BEFORE the overwrite: the state write truncates the
-    very files the lazy plan would still need to read."""
-    from pyspark.errors import AnalysisException
-
-    from ..operators.canonicalize import entity_edges, merge_components
+    Per-batch cost: the READ of the current state is O(|components|)
+    (inherent — CC merge must see every component root), but the WRITE is
+    only the DELTA (new nodes + nodes whose component changed), landing in
+    its own batch_id partition — not a full-state rewrite.  Every
+    `compact_every` batches the fold writes a full snapshot partition and
+    vacuums the older delta dirs, bounding what ``read_components`` has to
+    union.  Replay-safe: per-batch-dir overwrite + commit marker (see block
+    comment above)."""
+    from ..operators.canonicalize import entity_edges
 
     docs = stream_docs(spark, docs_dir, max_files_per_trigger=max_files_per_trigger)
     ments = extract_and_detect(docs, dedup=True)
@@ -180,15 +248,10 @@ def canonicalize_stream(spark: SparkSession, docs_dir: str, state_dir: str,
         spark, [lbl for _, lbl, _ in fixtures.GAZETTEER])
     entities = linking.link_mentions_precomputed(ments, resolved)
 
-    def _fold(batch_df, _batch_id):
-        s = batch_df.sparkSession
-        edges = entity_edges(batch_df).localCheckpoint()
-        try:
-            comps = s.read.parquet(state_dir)
-        except AnalysisException:
-            comps = s.createDataFrame([], "node string, comp string")
-        merged = merge_components(comps, edges).localCheckpoint()
-        merged.write.mode("overwrite").parquet(state_dir)
+    def _fold(batch_df, batch_id):
+        canonicalize_fold(batch_df.sparkSession,
+                          entity_edges(batch_df).localCheckpoint(),
+                          int(batch_id), state_dir, compact_every)
 
     q = (entities.writeStream
          .foreachBatch(_fold)
@@ -198,63 +261,75 @@ def canonicalize_stream(spark: SparkSession, docs_dir: str, state_dir: str,
     q.awaitTermination()
 
 
+def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
+                      state_dir: str, compact_every: int = 8) -> None:
+    """One idempotent micro-batch fold of `edges` into the component state
+    (module-level so the replay tests can drive it directly)."""
+    import shutil
+
+    from ..operators.canonicalize import merge_components
+
+    comps_dir, commits_dir = f"{state_dir}/comps", f"{state_dir}/commits"
+    if _is_committed(s, commits_dir, batch_id):
+        return
+    # exclude this batch's own partition: a replay after a crash mid-write
+    # must see the state AS OF the previous batch, recomputing the same delta
+    old = read_components(s, state_dir, exclude_batch=batch_id).localCheckpoint()
+    merged = merge_components(old, edges).localCheckpoint()
+    done = [i for i in _local_partition_ids(comps_dir) if i < batch_id]
+    if len(done) >= compact_every:
+        # snapshot + vacuum: full state into this batch's partition; the
+        # marker lands BEFORE the vacuum, so a crash mid-deletion replays as
+        # a committed no-op and latest-batch-wins shadows any leftover delta
+        # dirs until a later compaction sweeps them
+        merged.write.mode("overwrite").parquet(f"{comps_dir}/batch_id={batch_id}")
+        _mark_committed(s, commits_dir, batch_id)
+        for old_id in done:
+            shutil.rmtree(f"{comps_dir}/batch_id={old_id}", ignore_errors=True)
+        return
+    prev = old.withColumnRenamed("comp", "old_comp")
+    delta = (merged.join(prev, "node", "left")
+             .filter(F.col("old_comp").isNull()
+                     | (F.col("comp") != F.col("old_comp")))
+             .select("node", "comp"))
+    delta.write.mode("overwrite").parquet(f"{comps_dir}/batch_id={batch_id}")
+    _mark_committed(s, commits_dir, batch_id)
+
+
 def neardup_stream(spark: SparkSession, docs_dir: str, state_dir: str,
                    pairs_dir: str, checkpoint_dir: str,
                    max_hamming: int = 3, bucket_cap: int = 0,
                    max_files_per_trigger: int | None = None) -> None:
     """Streaming near-duplicate maintenance — the dedup analog of
     ``canonicalize_stream``: each micro-batch simhashes its NEW documents,
-    band-joins them against the batch itself PLUS the persisted
-    (doc_id, simhash) history, appends the Hamming-verified pairs, and folds
-    the batch into the history.
+    band-joins them against the batch itself plus the banded history, emits
+    the Hamming-verified pairs, and appends ONLY the batch's banded rows to
+    the history.
 
-    Per-batch cost is O(|batch| × bucket-membership) — the history side is
-    touched only through the band join on the new docs' keys, never
-    pair-joined against itself, and every true pair is emitted exactly once
-    (at the batch where its LATER member arrives).  With the default
-    bucket_cap=0 the accumulated pairs equal the one-shot batch
-    ``simhash_near_dups(bucket_cap=0)`` over the full corpus
-    (pytest-asserted across 4 real micro-batches); at cluster scale set a
-    cap to bound degenerate boilerplate buckets — capping is per-batch, so
-    incremental and one-shot results may then legitimately differ."""
-    from pyspark.errors import AnalysisException
+    Per-batch cost is O(|batch| × bucket-membership), including the history
+    side: the history is stored PRE-BANDED, partitioned by band key, and the
+    probe filters it with the batch's own key set — a partition-pruned scan
+    (asserted in tests), never a re-banding or re-shuffle of all history.
+    The verify step reads simhashes carried inside the banded rows, so no
+    second history scan.  Every true pair is emitted exactly once, at the
+    batch where its LATER member arrives — and stays exactly-once under
+    foreachBatch REPLAY, because pairs land in a per-batch partition that a
+    replay overwrites rather than re-appends (round-4 advice; commit-marker
+    + per-batch-dir design in the block comment above).
 
-    from ..operators import dedup
-
+    With the default bucket_cap=0 the accumulated pairs equal the one-shot
+    batch ``simhash_near_dups(bucket_cap=0)`` over the full corpus
+    (pytest-asserted across 4 real micro-batches); bucket_cap>0 bounds
+    degenerate boilerplate buckets AT WRITE TIME (history buckets never
+    exceed the cap), making incremental and one-shot results legitimately
+    divergent — the cap keeps the first `cap` members by doc_id per bucket
+    in arrival order."""
     docs = stream_docs(spark, docs_dir, max_files_per_trigger=max_files_per_trigger)
 
-    def _fold(batch_df, _batch_id):
-        s = batch_df.sparkSession
-        new_sh = dedup.simhash(batch_df.select("doc_id", "text"),
-                               "doc_id", "text").localCheckpoint()
-        try:
-            hist = s.read.parquet(state_dir)
-        except AnalysisException:
-            hist = s.createDataFrame([], "doc_id long, simhash string")
-        all_sh = hist.unionByName(new_sh).localCheckpoint()
-        lb = dedup.simhash_bands(all_sh)
-        if bucket_cap:
-            from pyspark.sql import Window
-            w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
-            lb = (lb.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
-        rb = dedup.simhash_bands(new_sh)
-        cand = (lb.select(F.col("doc_id").alias("a"), "band_id", "band_key")
-                .join(rb.select(F.col("doc_id").alias("b"), "band_id", "band_key"),
-                      ["band_id", "band_key"])
-                .filter(F.col("a") != F.col("b"))
-                .select(F.least("a", "b").alias("a"),
-                        F.greatest("a", "b").alias("b")).distinct())
-        sa = all_sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"))
-        sb = all_sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"))
-        ham = F.bit_count(F.conv("sim_a", 2, 10).cast("long")
-                          .bitwiseXOR(F.conv("sim_b", 2, 10).cast("long")))
-        pairs = (cand.join(sa, "a").join(sb, "b")
-                 .withColumn("hamming", ham.cast("long"))
-                 .filter(F.col("hamming") <= max_hamming)
-                 .select("a", "b", "hamming").localCheckpoint())
-        pairs.write.mode("append").parquet(pairs_dir)
-        all_sh.write.mode("overwrite").parquet(state_dir)
+    def _fold(batch_df, batch_id):
+        neardup_fold(batch_df.sparkSession, batch_df.select("doc_id", "text"),
+                     int(batch_id), state_dir, pairs_dir,
+                     max_hamming=max_hamming, bucket_cap=bucket_cap)
 
     q = (docs.writeStream
          .foreachBatch(_fold)
@@ -262,3 +337,60 @@ def neardup_stream(spark: SparkSession, docs_dir: str, state_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def neardup_fold(s: SparkSession, batch: DataFrame, batch_id: int,
+                 state_dir: str, pairs_dir: str, max_hamming: int = 3,
+                 bucket_cap: int = 0) -> None:
+    """One idempotent micro-batch fold of near-dup maintenance
+    (module-level so the replay tests can drive it directly)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from ..operators import dedup
+
+    hist_dir, commits_dir = f"{state_dir}/hist", f"{state_dir}/commits"
+    if _is_committed(s, commits_dir, batch_id):
+        return
+    new_sh = dedup.simhash(batch, "doc_id", "text")
+    # banded batch rows, simhash carried for the verify step; bkey is the
+    # single (band_id, band_key) partition/join key
+    nb = (dedup.simhash_bands(new_sh, carry=("simhash",))
+          .withColumn("bkey", F.concat_ws("_", "band_id", "band_key"))
+          .select("doc_id", "simhash", "bkey").localCheckpoint())
+    # the batch's key set drives partition pruning on the history scan —
+    # O(|batch|) driver-side, the incremental analog of an index lookup
+    keys = [r["bkey"] for r in nb.select("bkey").distinct().collect()]
+    try:
+        hist = (s.read.option("basePath", hist_dir).parquet(hist_dir)
+                .filter((F.col("batch_id") != batch_id)  # replay safety
+                        & F.col("bkey").isin(keys))
+                .select("doc_id", "simhash", "bkey"))
+    except AnalysisException:
+        hist = s.createDataFrame([], "doc_id long, simhash string, bkey string")
+    left = hist.unionByName(nb)
+    if bucket_cap:
+        # write-time cap semantics: history buckets already hold <= cap rows
+        # (only capped batch rows are ever appended), so this window runs
+        # over the PRUNED union — O(|batch| x membership), not O(|history|)
+        w = Window.partitionBy("bkey").orderBy("doc_id")
+        left = (left.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
+    ham = F.bit_count(F.conv("sim_a", 2, 10).cast("long")
+                      .bitwiseXOR(F.conv("sim_b", 2, 10).cast("long")))
+    pairs = (left.select(F.col("doc_id").alias("a"),
+                         F.col("simhash").alias("sim_a"), "bkey")
+             .join(nb.select(F.col("doc_id").alias("b"),
+                             F.col("simhash").alias("sim_b"), "bkey"), "bkey")
+             .filter(F.col("a") != F.col("b"))
+             .withColumn("hamming", ham.cast("long"))
+             .filter(F.col("hamming") <= max_hamming)
+             .select(F.least("a", "b").alias("a"),
+                     F.greatest("a", "b").alias("b"), "hamming")
+             .distinct().localCheckpoint())
+    pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+    appended = left.join(nb.select("doc_id").distinct(), "doc_id", "left_semi") \
+        if bucket_cap else nb
+    appended.write.partitionBy("bkey").mode("overwrite") \
+        .parquet(f"{hist_dir}/batch_id={batch_id}")
+    _mark_committed(s, commits_dir, batch_id)
