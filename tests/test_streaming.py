@@ -356,3 +356,33 @@ def test_canonicalize_fold_replay_and_compaction(spark, tmp_path):
     want7 = {(r["node"], r["comp"]) for r in connected_components_star(
         spark.createDataFrame(chain[:7], "a string, b string")).collect()}
     assert got7 == want7
+
+
+def test_neardup_fold_write_time_cap_bounds_state(spark, tmp_path):
+    """bucket_cap>0: the history NEVER holds more than cap rows per band
+    bucket (write-time capping), every emitted pair is still a true pair,
+    and the divergence from the uncapped one-shot is one-sided — capping
+    only DROPS pairs, it never invents them (the documented
+    incremental≠one-shot trade at cluster scale)."""
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import neardup_fold
+
+    state_dir, pairs_dir = str(tmp_path / "state"), str(tmp_path / "pairs")
+    boiler = "the same boilerplate navigation template page " * 8
+    docs = spark.createDataFrame([(i, boiler) for i in range(6)],
+                                 "doc_id long, text string")
+    b0 = docs.filter(F.col("doc_id") < 3)
+    b1 = docs.filter(F.col("doc_id") >= 3)
+    neardup_fold(spark, b0, 0, state_dir, pairs_dir, bucket_cap=2)
+    neardup_fold(spark, b1, 1, state_dir, pairs_dir, bucket_cap=2)
+
+    per_bucket = (spark.read.parquet(f"{state_dir}/hist")
+                  .groupBy("bkey").count().collect())
+    assert all(r["count"] <= 2 for r in per_bucket) and len(per_bucket) > 0
+
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in spark.read.parquet(pairs_dir).collect()}
+    want_uncapped = {(r["a"], r["b"], r["hamming"])
+                     for r in dedup.simhash_near_dups(docs, bucket_cap=0).collect()}
+    assert got < want_uncapped  # strictly fewer: capping drops, never invents
+    assert len(got) > 0
