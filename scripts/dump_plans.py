@@ -160,6 +160,37 @@ def main() -> None:
         spark.sql("DROP TABLE IF EXISTS t_ivf_explain")
         spark.sql("DROP TABLE IF EXISTS t_ivf_explain_centroids")
 
+    import shutil
+    import tempfile
+    from pyspark.sql import functions as F
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import neardup_fold
+    tmp = tempfile.mkdtemp(prefix="eel_explain_hist_")
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").limit(512)
+        neardup_fold(spark, docs, 0, f"{tmp}/state", f"{tmp}/pairs")
+        hist = spark.read.option("basePath", f"{tmp}/state/hist") \
+            .parquet(f"{tmp}/state/hist")
+        keys = [r["bkey"] for r in
+                hist.select("bkey").distinct().limit(3).collect()]
+        probe = hist.filter((F.col("batch_id") != 1)
+                            & F.col("bkey").isin(keys))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        part_line = next(ln for ln in plan.splitlines()
+                         if "PartitionFilters" in ln)
+        sections.append(
+            "## Streaming near-dup history probe (round-5 fold)\n\n"
+            "Check: the history side of `neardup_fold` is stored PRE-BANDED\n"
+            "and partitioned by (batch_id, bkey); the per-batch probe filter\n"
+            "appears under PartitionFilters on the Scan — pruned at the file\n"
+            "listing, so per-batch history I/O is O(batch × membership), not\n"
+            "O(history).  The batch_id≠self term is the replay guard.\n\n"
+            "```\n" + plan_of(probe)
+            + "Scan PartitionFilters (executed plan):\n"
+            + part_line.strip()[:400] + "\n```\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     sections.append(
         "## Closest-level enrich (q13, round-4 shape)\n\n"
         "Check: single Project — the levels list is a literal array of\n"

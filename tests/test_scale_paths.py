@@ -69,3 +69,23 @@ def test_clean_series_matches_scalar_on_unicode_mix():
     out = refsem.clean_text_series(s)
     for v, o in zip(vals, out):
         assert o == refsem.clean_text(v)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_windowed_external_table_queries_are_reinvocable(spark):
+    """q35_kb_bucketed and q52_ivf_index (the two driver-window queries that
+    saveAsTable to a fresh mkdtemp path per call) must survive being called
+    TWICE in one session — the shape a driver retry or entry()+queries()
+    double-run produces.  The second call re-creates the catalog entry with
+    mode('overwrite') at a NEW external location; results must be identical
+    both times (guards against Spark refusing a location change on an
+    existing external table)."""
+    from entity_extractor_linker_api_v2_spark.plans.queries import (
+        QUERIES)
+    for key in ("q35_kb_bucketed", "q52_ivf_index"):
+        first = _rows(QUERIES[key](spark, SF_SMALL))
+        second = _rows(QUERIES[key](spark, SF_SMALL))
+        assert first == second and len(first) > 0, key
