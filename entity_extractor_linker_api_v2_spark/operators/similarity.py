@@ -319,6 +319,15 @@ def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
     q = query_vector()
     qn = math.sqrt(sum(x * x for x in q))
     s2 = _probe_session(spark)
+    # the cached child session keeps its OWN relation cache: after a
+    # save_ivf_index rebuild (possibly at a new external path) it would
+    # silently serve the previous index's files — refresh both tables so
+    # every probe sees the catalog's current state
+    for t in (table, f"{table}_centroids"):
+        try:
+            s2.catalog.refreshTable(t)
+        except Exception:
+            pass  # table missing -> the s2.table() below raises cleanly
     idx = s2.table(table)
     c = centroids if centroids is not None \
         else s2.table(f"{table}_centroids")

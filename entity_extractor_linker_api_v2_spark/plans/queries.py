@@ -223,12 +223,23 @@ def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("label", "link_lang", "probe_lang", "title", "wikidata_id")
 
 
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
 def _scratch(tag: str) -> str:
-    """Fresh temp dir for external-table data written by registry queries:
-    the grading driver's cwd (= default warehouse dir) is not ours to write,
-    so bucketed tables built inside a query go to an explicit path."""
+    """Per-process temp dir for external-table data written by registry
+    queries: the grading driver's cwd (= default warehouse dir) is not ours
+    to write, so bucketed tables built inside a query go to an explicit
+    path.  One dir per tag, REUSED across invocations — a repeat call
+    overwrites in place (saveAsTable mode=overwrite) instead of leaking a
+    full dimension/embedding copy per call, and the probe-session
+    refreshTable in ivf_topk_indexed keeps rebuilt-in-place tables
+    visible."""
     import tempfile
-    return tempfile.mkdtemp(prefix=f"eel_{tag}_")
+    d = _SCRATCH_DIRS.get(tag)
+    if d is None:
+        d = _SCRATCH_DIRS[tag] = tempfile.mkdtemp(prefix=f"eel_{tag}_")
+    return d
 
 
 def q_kb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,17 +169,23 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
 #   * a commit MARKER (commits/batch_id=<N>) is written LAST; a replay of a
 #     fully committed batch is skipped outright;
 #   * state is append-only deltas — the fold never rewrites O(|history|)
-#     state per batch.
+#     state per batch;
+#   * every `compact_every` batches BOTH folds snapshot their partitions
+#     into one and vacuum the older dirs AND commit markers, so the
+#     per-batch file-listing / partition-discovery / marker-check cost is
+#     bounded (O(compact_every) dirs), not O(#batches); the marker check
+#     itself reads only its own batch_id subdir (O(1)).
 # At cluster scale the parquet-dir state is an Iceberg table (same seam as
 # StageCheckpoint) and the vacuum/compaction below is table maintenance.
 # ---------------------------------------------------------------------------
 
 
 def _is_committed(s: SparkSession, commits_dir: str, batch_id: int) -> bool:
+    # read ONLY this batch's marker dir — a whole-dir scan would make the
+    # per-batch metadata check O(#batches); this one is O(1)
     from pyspark.errors import AnalysisException
     try:
-        return (s.read.parquet(commits_dir)
-                .filter(F.col("batch_id") == batch_id).count() > 0)
+        return s.read.parquet(f"{commits_dir}/batch_id={batch_id}").count() > 0
     except AnalysisException:
         return False
 
@@ -286,6 +292,10 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
         _mark_committed(s, commits_dir, batch_id)
         for old_id in done:
             shutil.rmtree(f"{comps_dir}/batch_id={old_id}", ignore_errors=True)
+            # markers below the snapshot are vacuumed too: the checkpoint has
+            # committed those batches, so they can never be re-delivered —
+            # without this the commits dir grows one subdir per batch forever
+            shutil.rmtree(f"{commits_dir}/batch_id={old_id}", ignore_errors=True)
         return
     prev = old.withColumnRenamed("comp", "old_comp")
     delta = (merged.join(prev, "node", "left")
@@ -299,7 +309,8 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
 def neardup_stream(spark: SparkSession, docs_dir: str, state_dir: str,
                    pairs_dir: str, checkpoint_dir: str,
                    max_hamming: int = 3, bucket_cap: int = 0,
-                   max_files_per_trigger: int | None = None) -> None:
+                   max_files_per_trigger: int | None = None,
+                   compact_every: int = 8) -> None:
     """Streaming near-duplicate maintenance — the dedup analog of
     ``canonicalize_stream``: each micro-batch simhashes its NEW documents,
     band-joins them against the batch itself plus the banded history, emits
@@ -321,15 +332,19 @@ def neardup_stream(spark: SparkSession, docs_dir: str, state_dir: str,
     batch ``simhash_near_dups(bucket_cap=0)`` over the full corpus
     (pytest-asserted across 4 real micro-batches); bucket_cap>0 bounds
     degenerate boilerplate buckets AT WRITE TIME (history buckets never
-    exceed the cap), making incremental and one-shot results legitimately
-    divergent — the cap keeps the first `cap` members by doc_id per bucket
-    in arrival order."""
+    exceed the cap — the cap window orders by (batch_id, doc_id), so
+    earlier ARRIVALS win and a later batch can never evict already-written
+    history rows), making incremental and one-shot results legitimately
+    divergent.  Every `compact_every` batches the fold snapshots all
+    history partitions into one and vacuums the older dirs + commit
+    markers, bounding the per-batch listing cost."""
     docs = stream_docs(spark, docs_dir, max_files_per_trigger=max_files_per_trigger)
 
     def _fold(batch_df, batch_id):
         neardup_fold(batch_df.sparkSession, batch_df.select("doc_id", "text"),
                      int(batch_id), state_dir, pairs_dir,
-                     max_hamming=max_hamming, bucket_cap=bucket_cap)
+                     max_hamming=max_hamming, bucket_cap=bucket_cap,
+                     compact_every=compact_every)
 
     q = (docs.writeStream
          .foreachBatch(_fold)
@@ -341,9 +356,11 @@ def neardup_stream(spark: SparkSession, docs_dir: str, state_dir: str,
 
 def neardup_fold(s: SparkSession, batch: DataFrame, batch_id: int,
                  state_dir: str, pairs_dir: str, max_hamming: int = 3,
-                 bucket_cap: int = 0) -> None:
+                 bucket_cap: int = 0, compact_every: int = 8) -> None:
     """One idempotent micro-batch fold of near-dup maintenance
     (module-level so the replay tests can drive it directly)."""
+    import shutil
+
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
@@ -357,7 +374,9 @@ def neardup_fold(s: SparkSession, batch: DataFrame, batch_id: int,
     # single (band_id, band_key) partition/join key
     nb = (dedup.simhash_bands(new_sh, carry=("simhash",))
           .withColumn("bkey", F.concat_ws("_", "band_id", "band_key"))
-          .select("doc_id", "simhash", "bkey").localCheckpoint())
+          .select("doc_id", "simhash", "bkey")
+          .withColumn("batch_id", F.lit(int(batch_id)))
+          .localCheckpoint())
     # the batch's key set drives partition pruning on the history scan —
     # O(|batch|) driver-side, the incremental analog of an index lookup
     keys = [r["bkey"] for r in nb.select("bkey").distinct().collect()]
@@ -365,15 +384,20 @@ def neardup_fold(s: SparkSession, batch: DataFrame, batch_id: int,
         hist = (s.read.option("basePath", hist_dir).parquet(hist_dir)
                 .filter((F.col("batch_id") != batch_id)  # replay safety
                         & F.col("bkey").isin(keys))
-                .select("doc_id", "simhash", "bkey"))
+                .select("doc_id", "simhash", "bkey", "batch_id"))
     except AnalysisException:
-        hist = s.createDataFrame([], "doc_id long, simhash string, bkey string")
+        hist = s.createDataFrame(
+            [], "doc_id long, simhash string, bkey string, batch_id long")
     left = hist.unionByName(nb)
     if bucket_cap:
-        # write-time cap semantics: history buckets already hold <= cap rows
-        # (only capped batch rows are ever appended), so this window runs
-        # over the PRUNED union — O(|batch| x membership), not O(|history|)
-        w = Window.partitionBy("bkey").orderBy("doc_id")
+        # write-time cap semantics: ARRIVAL order wins — earlier batches
+        # rank first, so a batch row survives only if its bucket still has
+        # room, and on-disk buckets can NEVER exceed cap (ordering by
+        # doc_id alone breaks that invariant when a later batch carries
+        # smaller ids: it would evict history rows from `left` that remain
+        # in their already-written partitions while appending its own).
+        # The window runs over the PRUNED union — O(|batch| x membership).
+        w = Window.partitionBy("bkey").orderBy("batch_id", "doc_id")
         left = (left.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
     ham = F.bit_count(F.conv("sim_a", 2, 10).cast("long")
@@ -389,8 +413,34 @@ def neardup_fold(s: SparkSession, batch: DataFrame, batch_id: int,
                      F.greatest("a", "b").alias("b"), "hamming")
              .distinct().localCheckpoint())
     pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
-    appended = left.join(nb.select("doc_id").distinct(), "doc_id", "left_semi") \
-        if bucket_cap else nb
+    # only THIS batch's cap-surviving rows are ever appended (history rows
+    # already live in their own partitions); batch_id is implied by the dir
+    appended = (left.filter(F.col("batch_id") == batch_id)
+                if bucket_cap else nb).drop("batch_id")
+    done = [i for i in _local_partition_ids(hist_dir) if i < batch_id]
+    if len(done) >= compact_every:
+        # compaction sweep (amortized 1/compact_every, mirrors
+        # canonicalize_fold): fold ALL history partitions + this batch into
+        # ONE snapshot partition, then vacuum the old dirs and their
+        # markers — bounding the per-batch file-listing/partition-discovery
+        # cost that would otherwise grow O(#batches).  dropDuplicates
+        # absorbs leftover rows from a crash mid-earlier-vacuum.  Write
+        # order: snapshot, marker, THEN vacuum — a replay after a crash
+        # before the marker still sees every old dir and recomputes
+        # identically.
+        full_hist = (s.read.option("basePath", hist_dir).parquet(hist_dir)
+                     .filter(F.col("batch_id") != batch_id)
+                     .select("doc_id", "simhash", "bkey"))
+        snapshot = (full_hist.unionByName(appended)
+                    .dropDuplicates(["doc_id", "bkey"]))
+        snapshot.write.partitionBy("bkey").mode("overwrite") \
+            .parquet(f"{hist_dir}/batch_id={batch_id}")
+        _mark_committed(s, commits_dir, batch_id)
+        for old_id in done:
+            shutil.rmtree(f"{hist_dir}/batch_id={old_id}", ignore_errors=True)
+            shutil.rmtree(f"{commits_dir}/batch_id={old_id}",
+                          ignore_errors=True)
+        return
     appended.write.partitionBy("bkey").mode("overwrite") \
         .parquet(f"{hist_dir}/batch_id={batch_id}")
     _mark_committed(s, commits_dir, batch_id)

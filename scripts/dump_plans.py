@@ -176,8 +176,10 @@ def main() -> None:
         probe = hist.filter((F.col("batch_id") != 1)
                             & F.col("bkey").isin(keys))
         plan = probe._jdf.queryExecution().executedPlan().toString()
-        part_line = next(ln for ln in plan.splitlines()
-                         if "PartitionFilters" in ln)
+        part_line = next((ln for ln in plan.splitlines()
+                          if "PartitionFilters" in ln),
+                         "!! PRUNING MISSING — no PartitionFilters in the "
+                         "executed plan; the history probe is NOT pruned")
         sections.append(
             "## Streaming near-dup history probe (round-5 fold)\n\n"
             "Check: the history side of `neardup_fold` is stored PRE-BANDED\n"

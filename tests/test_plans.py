@@ -201,6 +201,36 @@ def test_ivf_index_probe_prunes_buckets(spark):
         spark.sql("DROP TABLE IF EXISTS t_ivf_index_centroids")
 
 
+def test_ivf_index_rebuild_is_visible_to_cached_probe_session(spark, tmp_path):
+    """The probe runs on a CACHED child session whose relation cache is not
+    invalidated by the parent's saveAsTable: without an explicit
+    refreshTable per probe, rebuilding the index (same table name, new data
+    / new external path) silently serves the PREVIOUS build's files — the
+    old scratch dir still exists, so the stale read succeeds.  Regression
+    test: rebuild with shifted vec_ids and assert the probe follows."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_linker_api_v2_spark.operators import similarity
+    from entity_extractor_linker_api_v2_spark.sources import tables
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    try:
+        similarity.save_ivf_index(emb, "t_ivf_stale",
+                                  path=str(tmp_path / "a"))
+        first = {r["vec_id"] for r in
+                 similarity.ivf_topk_indexed(spark, "t_ivf_stale").collect()}
+        similarity.save_ivf_index(shifted, "t_ivf_stale",
+                                  path=str(tmp_path / "b"))
+        second = {r["vec_id"] for r in
+                  similarity.ivf_topk_indexed(spark, "t_ivf_stale").collect()}
+        assert first and all(v < 1_000_000 for v in first)
+        assert second == {v + 1_000_000 for v in first}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_stale")
+        spark.sql("DROP TABLE IF EXISTS t_ivf_stale_centroids")
+
+
 def test_bucketed_kb_linking_shuffles_probes_only(spark):
     """Beyond-broadcast linking regime: with the alias/KB dimensions stored
     bucketed on their join keys, resolve_candidates_bucketed must (a) pick

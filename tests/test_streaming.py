@@ -386,3 +386,65 @@ def test_neardup_fold_write_time_cap_bounds_state(spark, tmp_path):
                      for r in dedup.simhash_near_dups(docs, bucket_cap=0).collect()}
     assert got < want_uncapped  # strictly fewer: capping drops, never invents
     assert len(got) > 0
+
+
+def test_neardup_fold_cap_holds_under_non_monotone_doc_ids(spark, tmp_path):
+    """The cap invariant must hold even when a LATER batch carries SMALLER
+    doc_ids than persisted history: a doc_id-ordered cap window would evict
+    history rows from the in-memory union (which stay in their on-disk
+    partitions regardless) while appending the batch's rows, growing the
+    bucket past the cap.  The (batch_id, doc_id) arrival ordering keeps
+    earlier batches first, so full buckets reject the new rows."""
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import neardup_fold
+
+    state_dir, pairs_dir = str(tmp_path / "state"), str(tmp_path / "pairs")
+    boiler = "the same boilerplate navigation template page " * 8
+    b0 = spark.createDataFrame([(10, boiler), (11, boiler)],
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame([(1, boiler), (2, boiler)],
+                               "doc_id long, text string")
+    neardup_fold(spark, b0, 0, state_dir, pairs_dir, bucket_cap=2)
+    neardup_fold(spark, b1, 1, state_dir, pairs_dir, bucket_cap=2)
+
+    per_bucket = (spark.read.parquet(f"{state_dir}/hist")
+                  .groupBy("bkey").count().collect())
+    assert all(r["count"] <= 2 for r in per_bucket) and len(per_bucket) > 0
+    # the full buckets belong to batch 0 — batch 1's rows were rejected
+    hist_ids = {r["doc_id"]
+                for r in spark.read.parquet(f"{state_dir}/hist").collect()}
+    assert hist_ids == {10, 11}
+
+
+def test_neardup_fold_compaction_bounds_partitions(spark, tmp_path):
+    """Every compact_every batches the fold snapshots all history partitions
+    into one and vacuums older dirs + commit markers — the per-batch listing
+    cost stays O(compact_every), and the accumulated pairs still equal the
+    one-shot batch computation."""
+    import os
+
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import neardup_fold
+
+    state_dir, pairs_dir = str(tmp_path / "state"), str(tmp_path / "pairs")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .select("doc_id", "text")
+    n_batches = 6
+    for i in range(n_batches):
+        neardup_fold(spark, docs.filter(F.col("doc_id") % n_batches == i),
+                     i, state_dir, pairs_dir, compact_every=2)
+
+    def dirs(p):
+        return sorted(d for d in os.listdir(p) if d.startswith("batch_id="))
+
+    # compaction fired: far fewer live partitions than batches, markers too
+    assert len(dirs(f"{state_dir}/hist")) <= 3
+    assert len(dirs(f"{state_dir}/commits")) <= 3
+    # and the result is still exactly the one-shot near-dup set
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in spark.read.parquet(pairs_dir).collect()}
+    want = {(r["a"], r["b"], r["hamming"])
+            for r in dedup.simhash_near_dups(docs, bucket_cap=0).collect()}
+    assert got == want and len(want) > 0
+    # history content survived compaction intact (one row per doc per band)
+    hist = spark.read.parquet(f"{state_dir}/hist")
+    assert hist.count() == hist.select("doc_id", "bkey").distinct().count()
