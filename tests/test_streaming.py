@@ -448,3 +448,77 @@ def test_neardup_fold_compaction_bounds_partitions(spark, tmp_path):
     # history content survived compaction intact (one row per doc per band)
     hist = spark.read.parquet(f"{state_dir}/hist")
     assert hist.count() == hist.select("doc_id", "bkey").distinct().count()
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed,k", [(7, 3), (23, 5), (101, 2)])
+def test_neardup_fold_matches_batch_under_random_splits(spark, tmp_path,
+                                                        seed, k):
+    """Fold ≡ one-shot must hold for ARBITRARY batch assignments, not just
+    the even/odd and modulo splits the fixed tests use: hash-split the
+    corpus into k seed-dependent batches (uneven sizes, near-dup members
+    landing in any relative order) and assert the accumulated pairs equal
+    the uncapped one-shot near-dup set exactly."""
+    from entity_extractor_linker_api_v2_spark.operators import dedup
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import neardup_fold
+
+    state_dir = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .select("doc_id", "text")
+    bucket = F.crc32(F.concat_ws("_", F.col("doc_id").cast("string"),
+                                 F.lit(str(seed)))) % k
+    sizes = []
+    for i in range(k):
+        b = docs.filter(bucket == i)
+        sizes.append(b.count())
+        neardup_fold(spark, b, i, state_dir, pairs_dir)
+    assert sum(sizes) == docs.count() and min(sizes) > 0
+
+    got = [(r["a"], r["b"], r["hamming"])
+           for r in spark.read.parquet(pairs_dir).collect()]
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+    want = {(r["a"], r["b"], r["hamming"])
+            for r in dedup.simhash_near_dups(docs, bucket_cap=0).collect()}
+    assert set(got) == want and len(want) > 0
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_canonicalize_fold_matches_batch_under_random_splits(spark, tmp_path,
+                                                             seed):
+    """Incremental CC must converge to the one-shot components for any
+    edge-arrival order: build a random graph (chains, a star hub, cross
+    links, singleton-joining edges), shuffle its edges with a seeded RNG
+    into uneven batches, fold them in, and assert the state equals the
+    one-shot star-CC over the union — same (node, comp) pairs, comp = the
+    component minimum regardless of which member arrived first."""
+    import random
+
+    from entity_extractor_linker_api_v2_spark.operators.canonicalize import (
+        connected_components_star)
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import (
+        canonicalize_fold, read_components)
+
+    rng = random.Random(seed)
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(0, 8)]       # chain
+    edges += [(f"hub", f"m{i}") for i in range(5)]                      # star
+    edges += [(f"n{rng.randrange(9):02d}", f"m{rng.randrange(5)}")]     # cross
+    edges += [(f"z{i}", f"z{i}x") for i in range(3)]                    # pairs
+    rng.shuffle(edges)
+    cuts = sorted(rng.sample(range(1, len(edges)), 3))
+    batches = [edges[a:b] for a, b in
+               zip([0] + cuts, cuts + [len(edges)])]
+
+    state_dir = str(tmp_path / "state")
+    for i, batch in enumerate(batches):
+        canonicalize_fold(
+            spark, spark.createDataFrame(batch, "a string, b string"),
+            i, state_dir)
+
+    got = {(r["node"], r["comp"])
+           for r in read_components(spark, state_dir).collect()}
+    want = {(r["node"], r["comp"]) for r in connected_components_star(
+        spark.createDataFrame(edges, "a string, b string")).collect()}
+    assert got == want and len(got) > 0
