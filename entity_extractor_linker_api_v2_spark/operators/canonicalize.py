@@ -150,29 +150,62 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
 STAR_EDGE_THRESHOLD = 8
 
 
-def merge_components(comps: DataFrame, new_edges: DataFrame) -> DataFrame:
-    """Incremental connected components: fold a batch of NEW edges into an
-    existing (node, comp) partition without recomputing over the full
-    historical edge set.
+def affected_members(comps: DataFrame, batch_nodes: DataFrame) -> DataFrame:
+    """All (node, comp) rows of the components that contain at least one
+    batch node — the ONLY part of the state that a batch of new edges can
+    change.  A component none of whose members touches a new edge keeps
+    both its membership and its minimum, so it must not enter the merge's
+    CC input.  Two broadcast left-semi probes over a streamed scan of the
+    state (batch_nodes and the affected comp-id set are micro-batch-sized);
+    the state side is never shuffled here."""
+    affected = (comps.join(F.broadcast(batch_nodes), "node", "left_semi")
+                .select("comp").distinct())
+    return comps.join(F.broadcast(affected), "comp", "left_semi")
 
-    The existing partition is itself a star edge relation (member → comp
-    root) with the same connectivity as the original graph inside each
-    component, so CC(stars ∪ new_edges) ≡ CC(all_old_edges ∪ new_edges) —
-    and comp labels stay the component-minimum member because every star
-    already points at its minimum.  Per micro-batch cost is
-    O(|components| + |batch|), not O(|history|): the delta-merge the
-    streaming ingest needs (pytest-asserted ≡ full recompute on random
-    two-batch splits)."""
-    stars = (comps.filter(F.col("node") != F.col("comp"))
+
+def merge_components_delta(comps: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Incremental connected components, delta form: fold a batch of NEW
+    edges into an existing (node, comp) partition and return ONLY the rows
+    that change — new nodes plus members whose comp label moves.
+
+    Correctness: a new edge can only change components it (transitively via
+    other new edges) touches, and every endpoint of every new edge is a
+    batch node — so restricting the CC input to ``affected_members`` plus
+    the new edges loses nothing.  Inside that subgraph the existing
+    partition is a star relation (member → comp root) with the same
+    connectivity as the original edges, so CC(stars ∪ new_edges) ≡
+    CC(all_old_edges ∪ new_edges), and comp labels stay the
+    component-minimum because every star already points at its minimum.
+
+    Per micro-batch cost: CC iterations run over O(|batch| ×
+    affected-component size) rows — NOT O(|components|); the full state is
+    only STREAMED (broadcast semi-probes), never iterated or shuffled.
+    Pytest-asserted ≡ full recompute on random multi-batch splits."""
+    edges = new_edges.select("a", "b").distinct()
+    batch_nodes = (edges.select(F.col("a").alias("node"))
+                   .unionByName(edges.select(F.col("b").alias("node")))
+                   .distinct())
+    members = affected_members(comps, batch_nodes).localCheckpoint()
+    stars = (members.filter(F.col("node") != F.col("comp"))
              .select(F.col("node").alias("a"), F.col("comp").alias("b")))
-    res = connected_components_star(
-        stars.unionByName(new_edges.select("a", "b")).distinct())
-    # previously-known nodes untouched by any edge (singleton components)
-    # never enter the star relation — carry them through unchanged
-    untouched = (comps.select("node")
-                 .join(res.select("node"), "node", "left_anti")
-                 .withColumn("comp", F.col("node")))
-    return res.unionByName(untouched)
+    res = connected_components_star(stars.unionByName(edges).distinct())
+    prev = members.select("node", F.col("comp").alias("old_comp"))
+    return (res.join(prev, "node", "left")
+            .filter(F.col("old_comp").isNull()
+                    | (F.col("comp") != F.col("old_comp")))
+            .select("node", "comp"))
+
+
+def merge_components(comps: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Incremental connected components, full-view form: the merged
+    (node, comp) partition after folding a batch of NEW edges.  Thin
+    wrapper over ``merge_components_delta`` — unchanged rows (the vast
+    majority at scale) are carried through with a broadcast anti-join,
+    never re-derived."""
+    delta = merge_components_delta(comps, new_edges).localCheckpoint()
+    untouched = comps.join(F.broadcast(delta.select("node")),
+                           "node", "left_anti")
+    return delta.unionByName(untouched)
 
 
 def canonical_entities(entities: DataFrame, max_iter: int = 20,

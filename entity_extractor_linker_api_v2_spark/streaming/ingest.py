@@ -238,8 +238,12 @@ def canonicalize_stream(spark: SparkSession, docs_dir: str, state_dir: str,
     same-as/alias edges, and ``merge_components`` folds them into the
     persisted (node, comp) state.
 
-    Per-batch cost: the READ of the current state is O(|components|)
-    (inherent — CC merge must see every component root), but the WRITE is
+    Per-batch cost: the current state is read through ONE latest-wins
+    aggregation pass (map-side-combinable, materialized once per batch);
+    everything downstream probes that materialization with broadcast
+    semi-joins, and the CC rounds iterate only over the components the
+    batch's edges actually touch (affected-member pruning,
+    ``merge_components_delta``) — never the full node set.  The WRITE is
     only the DELTA (new nodes + nodes whose component changed), landing in
     its own batch_id partition — not a full-state rewrite.  Every
     `compact_every` batches the fold writes a full snapshot partition and
@@ -273,7 +277,7 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
     (module-level so the replay tests can drive it directly)."""
     import shutil
 
-    from ..operators.canonicalize import merge_components
+    from ..operators.canonicalize import merge_components_delta
 
     comps_dir, commits_dir = f"{state_dir}/comps", f"{state_dir}/commits"
     if _is_committed(s, commits_dir, batch_id):
@@ -281,13 +285,18 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
     # exclude this batch's own partition: a replay after a crash mid-write
     # must see the state AS OF the previous batch, recomputing the same delta
     old = read_components(s, state_dir, exclude_batch=batch_id).localCheckpoint()
-    merged = merge_components(old, edges).localCheckpoint()
+    # delta form: CC iterations run only over the components the batch's
+    # edges touch (affected-member pruning in merge_components_delta) — the
+    # write below IS the delta, no full-view diff join needed
+    delta = merge_components_delta(old, edges).localCheckpoint()
     done = [i for i in _local_partition_ids(comps_dir) if i < batch_id]
     if len(done) >= compact_every:
         # snapshot + vacuum: full state into this batch's partition; the
         # marker lands BEFORE the vacuum, so a crash mid-deletion replays as
         # a committed no-op and latest-batch-wins shadows any leftover delta
         # dirs until a later compaction sweeps them
+        merged = delta.unionByName(
+            old.join(F.broadcast(delta.select("node")), "node", "left_anti"))
         merged.write.mode("overwrite").parquet(f"{comps_dir}/batch_id={batch_id}")
         _mark_committed(s, commits_dir, batch_id)
         for old_id in done:
@@ -297,11 +306,6 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
             # without this the commits dir grows one subdir per batch forever
             shutil.rmtree(f"{commits_dir}/batch_id={old_id}", ignore_errors=True)
         return
-    prev = old.withColumnRenamed("comp", "old_comp")
-    delta = (merged.join(prev, "node", "left")
-             .filter(F.col("old_comp").isNull()
-                     | (F.col("comp") != F.col("old_comp")))
-             .select("node", "comp"))
     delta.write.mode("overwrite").parquet(f"{comps_dir}/batch_id={batch_id}")
     _mark_committed(s, commits_dir, batch_id)
 

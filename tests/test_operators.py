@@ -421,6 +421,68 @@ def test_merge_components_equals_full_recompute(spark):
     assert incr == full | {("loner", "loner")}
 
 
+def test_merge_components_delta_is_exactly_the_changed_rows(spark):
+    """The delta form must return precisely full_recompute MINUS the old
+    partition's unchanged rows — new nodes plus nodes whose comp label
+    moved, nothing else — for seeded random graphs and uneven splits."""
+    import random
+
+    from entity_extractor_linker_api_v2_spark.operators.canonicalize import (
+        connected_components_star, merge_components_delta)
+
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        all_edges = [(f"n{rng.randrange(50):02d}", f"n{rng.randrange(50):02d}")
+                     for _ in range(70)]
+        all_edges = [(a, b) for a, b in all_edges if a != b]
+        cut = rng.randrange(10, 60)
+        e1 = spark.createDataFrame(all_edges[:cut], "a string, b string")
+        e2 = spark.createDataFrame(all_edges[cut:], "a string, b string")
+        comps1 = connected_components_star(e1)
+        old = {(r["node"], r["comp"]) for r in comps1.collect()}
+        full = {(r["node"], r["comp"])
+                for r in connected_components_star(
+                    e1.unionByName(e2)).collect()}
+        got = {(r["node"], r["comp"])
+               for r in merge_components_delta(comps1, e2).collect()}
+        assert got == full - old, f"seed {seed}"
+
+
+def test_merge_delta_prunes_untouched_components(spark):
+    """Affected-member pruning: a component none of whose members touches a
+    batch edge must NOT enter the merge's CC input.  Plant a large bystander
+    component next to a small one the batch touches — affected_members must
+    return only the touched component's rows, and the delta must not mention
+    any bystander node."""
+    from entity_extractor_linker_api_v2_spark.operators.canonicalize import (
+        affected_members, connected_components_star, merge_components_delta)
+
+    bystander = [(f"big{i:03d}", f"big{i+1:03d}") for i in range(200)]
+    small = [("s1", "s2"), ("s2", "s3")]
+    comps = connected_components_star(
+        spark.createDataFrame(bystander + small, "a string, b string"))
+    batch = spark.createDataFrame([("s3", "a0"), ("a0", "a1")],
+                                  "a string, b string")
+    batch_nodes = spark.createDataFrame(
+        [("s3",), ("a0",), ("a1",)], "node string")
+
+    members = affected_members(comps, batch_nodes)
+    got_nodes = {r["node"] for r in members.collect()}
+    assert got_nodes == {"s1", "s2", "s3"}, got_nodes  # bystanders excluded
+
+    # the probe plan broadcasts the batch side; the state side carries no
+    # shuffle introduced by the probes themselves (its own lineage aside)
+    plan = members._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    # min member of {s1,s2,s3,a0,a1} is a0 — every old member's label moves
+    # and both new nodes arrive: exactly five delta rows, no bystanders
+    delta = {(r["node"], r["comp"])
+             for r in merge_components_delta(comps, batch).collect()}
+    assert delta == {("s1", "a0"), ("s2", "a0"), ("s3", "a0"),
+                     ("a0", "a0"), ("a1", "a0")}, delta
+
+
 def test_media_embed_bridges_to_similarity_operators(spark):
     """The multimodal→vector bridge must feed the similarity operators
     unchanged: duplicate payloads planted under new ids produce identical
