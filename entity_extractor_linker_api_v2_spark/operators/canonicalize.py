@@ -181,10 +181,14 @@ def merge_components_delta(comps: DataFrame, new_edges: DataFrame) -> DataFrame:
     affected-component size) rows — NOT O(|components|); the full state is
     only STREAMED (broadcast semi-probes), never iterated or shuffled.
     Pytest-asserted ≡ full recompute on random multi-batch splits."""
-    edges = new_edges.select("a", "b").distinct()
+    # both are micro-batch-sized; materialized eagerly because each is
+    # consumed twice (edges: node projection + CC union; batch_nodes: the
+    # broadcast probe) and a lazy frame would re-run the caller's upstream
+    # extraction lineage per consumer
+    edges = new_edges.select("a", "b").distinct().localCheckpoint()
     batch_nodes = (edges.select(F.col("a").alias("node"))
                    .unionByName(edges.select(F.col("b").alias("node")))
-                   .distinct())
+                   .distinct().localCheckpoint())
     members = affected_members(comps, batch_nodes).localCheckpoint()
     stars = (members.filter(F.col("node") != F.col("comp"))
              .select(F.col("node").alias("a"), F.col("comp").alias("b")))
