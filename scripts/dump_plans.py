@@ -193,6 +193,30 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    tmp2 = tempfile.mkdtemp(prefix="eel_explain_merge_")
+    try:
+        from entity_extractor_linker_api_v2_spark.operators.canonicalize import (
+            affected_members)
+        (spark.createDataFrame(
+            [(f"c{k:04d}m{j}", f"c{k:04d}m0")
+             for k in range(200) for j in range(5)],
+            "node string, comp string")
+         .write.parquet(f"{tmp2}/comps"))
+        comps = spark.read.parquet(f"{tmp2}/comps")
+        batch_nodes = spark.createDataFrame([("c0000m4",), ("znew1",)],
+                                            "node string")
+        members = affected_members(comps, batch_nodes)
+        sections.append(
+            "## Incremental-CC affected-member probe (round-5 pruning)\n\n"
+            "Check: both probes (batch node set, then affected comp-id set)\n"
+            "are BroadcastHashJoin LeftSemi over a streamed scan of the\n"
+            "component state — the state side carries no Exchange, and the\n"
+            "downstream star-CC rounds iterate only over these rows, never\n"
+            "the full state (BENCH.md: flat fold cost across 4× state).\n\n"
+            "```\n" + plan_of(members) + "```\n")
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
     sections.append(
         "## Closest-level enrich (q13, round-4 shape)\n\n"
         "Check: single Project — the levels list is a literal array of\n"
