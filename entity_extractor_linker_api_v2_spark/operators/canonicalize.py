@@ -207,8 +207,10 @@ def merge_components(comps: DataFrame, new_edges: DataFrame) -> DataFrame:
     majority at scale) are carried through with a broadcast anti-join,
     never re-derived."""
     delta = merge_components_delta(comps, new_edges).localCheckpoint()
-    untouched = comps.join(F.broadcast(delta.select("node")),
-                           "node", "left_anti")
+    # no forced broadcast here: unlike the batch-bounded probe frames, the
+    # delta is bounded by the AFFECTED COMPONENT sizes (a batch merging two
+    # huge components rewrites both) — let AQE pick broadcast when small
+    untouched = comps.join(delta.select("node"), "node", "left_anti")
     return delta.unionByName(untouched)
 
 

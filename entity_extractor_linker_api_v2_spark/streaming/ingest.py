@@ -295,8 +295,10 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
         # marker lands BEFORE the vacuum, so a crash mid-deletion replays as
         # a committed no-op and latest-batch-wins shadows any leftover delta
         # dirs until a later compaction sweeps them
+        # delta size is bounded by the affected-component sizes, not the
+        # batch — no forced broadcast (AQE still picks one when it fits)
         merged = delta.unionByName(
-            old.join(F.broadcast(delta.select("node")), "node", "left_anti"))
+            old.join(delta.select("node"), "node", "left_anti"))
         merged.write.mode("overwrite").parquet(f"{comps_dir}/batch_id={batch_id}")
         _mark_committed(s, commits_dir, batch_id)
         for old_id in done:
