@@ -522,3 +522,34 @@ def test_canonicalize_fold_matches_batch_under_random_splits(spark, tmp_path,
     want = {(r["node"], r["comp"]) for r in connected_components_star(
         spark.createDataFrame(edges, "a string, b string")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_canonicalize_fold_empty_edge_batch(spark, tmp_path):
+    """A micro-batch whose documents yield NO resolution edges (nothing
+    linkable) must fold cleanly: state unchanged, batch still marked
+    committed (so a replay skips), and the empty delta partition must not
+    break the latest-wins reader."""
+    import os
+
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import (
+        canonicalize_fold, read_components)
+
+    state_dir = str(tmp_path / "state")
+    empty = spark.createDataFrame([], "a string, b string")
+    # batch 0: empty edges into EMPTY state — reader still returns nothing
+    canonicalize_fold(spark, empty, 0, state_dir)
+    assert read_components(spark, state_dir).count() == 0
+    assert os.path.isdir(f"{state_dir}/commits/batch_id=0")
+
+    # batch 1 builds real state; batch 2 is empty again — state unchanged
+    edges = spark.createDataFrame([("x", "y"), ("y", "z")],
+                                  "a string, b string")
+    canonicalize_fold(spark, edges, 1, state_dir)
+    want = {(r["node"], r["comp"])
+            for r in read_components(spark, state_dir).collect()}
+    assert want == {("x", "x"), ("y", "x"), ("z", "x")}
+    canonicalize_fold(spark, empty, 2, state_dir)
+    got = {(r["node"], r["comp"])
+           for r in read_components(spark, state_dir).collect()}
+    assert got == want
+    assert os.path.isdir(f"{state_dir}/commits/batch_id=2")
