@@ -150,17 +150,27 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
 STAR_EDGE_THRESHOLD = 8
 
 
-def affected_members(comps: DataFrame, batch_nodes: DataFrame) -> DataFrame:
+# above this many batch nodes, merge_components_delta stops FORCING
+# broadcast of its probe frames (a fat catch-up batch would otherwise OOM
+# the driver/executors on the broadcast) and lets AQE pick the strategy
+DELTA_BROADCAST_MAX_NODES = 1_000_000
+
+
+def affected_members(comps: DataFrame, batch_nodes: DataFrame,
+                     hint_broadcast: bool = True) -> DataFrame:
     """All (node, comp) rows of the components that contain at least one
     batch node — the ONLY part of the state that a batch of new edges can
     change.  A component none of whose members touches a new edge keeps
     both its membership and its minimum, so it must not enter the merge's
-    CC input.  Two broadcast left-semi probes over a streamed scan of the
-    state (batch_nodes and the affected comp-id set are micro-batch-sized);
-    the state side is never shuffled here."""
-    affected = (comps.join(F.broadcast(batch_nodes), "node", "left_semi")
+    CC input.  Two left-semi probes over a streamed scan of the state;
+    with `hint_broadcast` (micro-batch-sized probes — the normal fold path)
+    both are forced broadcasts so the state side is never shuffled here.
+    Callers folding a FAT batch pass hint_broadcast=False and AQE chooses
+    (see DELTA_BROADCAST_MAX_NODES)."""
+    maybe = F.broadcast if hint_broadcast else (lambda df: df)
+    affected = (comps.join(maybe(batch_nodes), "node", "left_semi")
                 .select("comp").distinct())
-    return comps.join(F.broadcast(affected), "comp", "left_semi")
+    return comps.join(maybe(affected), "comp", "left_semi")
 
 
 def merge_components_delta(comps: DataFrame, new_edges: DataFrame) -> DataFrame:
@@ -189,7 +199,12 @@ def merge_components_delta(comps: DataFrame, new_edges: DataFrame) -> DataFrame:
     batch_nodes = (edges.select(F.col("a").alias("node"))
                    .unionByName(edges.select(F.col("b").alias("node")))
                    .distinct().localCheckpoint())
-    members = affected_members(comps, batch_nodes).localCheckpoint()
+    # fat-batch guard (round-5 advice): a catch-up batch can carry millions
+    # of nodes — forcing those through a broadcast would OOM; the count is
+    # free here (batch_nodes is already materialized)
+    hint = batch_nodes.count() <= DELTA_BROADCAST_MAX_NODES
+    members = affected_members(comps, batch_nodes,
+                               hint_broadcast=hint).localCheckpoint()
     stars = (members.filter(F.col("node") != F.col("comp"))
              .select(F.col("node").alias("a"), F.col("comp").alias("b")))
     res = connected_components_star(stars.unionByName(edges).distinct())

@@ -322,12 +322,15 @@ def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
     # the cached child session keeps its OWN relation cache: after a
     # save_ivf_index rebuild (possibly at a new external path) it would
     # silently serve the previous index's files — refresh both tables so
-    # every probe sees the catalog's current state
+    # every probe sees the catalog's current state.  Only AnalysisException
+    # (table missing — s2.table() below raises cleanly) is swallowed; real
+    # catalog/IO failures must surface here, not as a stale read.
+    from pyspark.errors import AnalysisException
     for t in (table, f"{table}_centroids"):
         try:
             s2.catalog.refreshTable(t)
-        except Exception:
-            pass  # table missing -> the s2.table() below raises cleanly
+        except AnalysisException:
+            pass
     idx = s2.table(table)
     c = centroids if centroids is not None \
         else s2.table(f"{table}_centroids")

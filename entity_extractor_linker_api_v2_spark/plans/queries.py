@@ -235,10 +235,16 @@ def _scratch(tag: str) -> str:
     full dimension/embedding copy per call, and the probe-session
     refreshTable in ivf_topk_indexed keeps rebuilt-in-place tables
     visible."""
+    import atexit
+    import shutil
     import tempfile
     d = _SCRATCH_DIRS.get(tag)
     if d is None:
         d = _SCRATCH_DIRS[tag] = tempfile.mkdtemp(prefix=f"eel_{tag}_")
+        # bounded per process, but bench/driver runs accumulate otherwise —
+        # sweep at interpreter exit (best-effort: a SIGKILL'd process still
+        # leaks, which only the OS tmp reaper can reclaim)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
 
@@ -626,12 +632,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_dedup_corpus(spark, sf_dir))
 
 
-def q_compendium(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full /compendium analog: per document assemble topic (O-43) +
-    entity-context blocks (O-44) + numbered bibliography (O-31/O-44) into
-    one markdown column — the deterministic half of compendium.py:191-216."""
-    e = _entities(spark, sf_dir).persist()
-    docs = tables.docs_table(spark, sf_dir, with_html=False)
+def compendium_from(docs: DataFrame, e: DataFrame) -> DataFrame:
+    """Compendium assembly over an arbitrary (docs, entities) pair — the
+    reusable form of q47, so the reference's /pipeline chain
+    (linker→compendium, app/api/v1/pipeline.py:196-265) can run as ONE
+    lineage from any linker output (extract or generate mode)."""
     first = F.trim(F.element_at(F.split("body_text", r"\."), 1))
     topic = (docs.select("url", F.when(F.length(first) > 10, first)
                          .otherwise(F.trim(F.substring("body_text", 1, 100)))
@@ -664,12 +669,19 @@ def q_compendium(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("markdown")))
 
 
-def q_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full /qa analog (deterministic half): one QA pair per linked entity
-    with answers truncated per O-41 and educational levels assigned
-    round-robin per O-25 (qa.py:224-233 order)."""
+def q_compendium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full /compendium analog: per document assemble topic (O-43) +
+    entity-context blocks (O-44) + numbered bibliography (O-31/O-44) into
+    one markdown column — the deterministic half of compendium.py:191-216."""
+    return compendium_from(tables.docs_table(spark, sf_dir, with_html=False),
+                           _entities(spark, sf_dir).persist())
+
+
+def qa_pairs_from(entities: DataFrame) -> DataFrame:
+    """QA-pair assembly over an arbitrary entities frame — the reusable form
+    of q48 for the /pipeline chain (linker→qa in one lineage)."""
     from ..refsem import DEFAULT_LEVELS
-    e = _entities(spark, sf_dir).filter(F.col("extract") != "")
+    e = entities.filter(F.col("extract") != "")
     k = len(DEFAULT_LEVELS)
     level = F.element_at(
         F.array(*[F.lit(lv) for lv in DEFAULT_LEVELS]),
@@ -683,6 +695,13 @@ def q_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         answer.alias("answer"),
         F.lit("Bildungsstufe").alias("level_property"),
         level.alias("level_value"))
+
+
+def q_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full /qa analog (deterministic half): one QA pair per linked entity
+    with answers truncated per O-41 and educational levels assigned
+    round-robin per O-25 (qa.py:224-233 order)."""
+    return qa_pairs_from(_entities(spark, sf_dir))
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,12 +827,25 @@ def q_canonicalize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is therefore ordered so that the externally checked window is EXACTLY the
 # first 50 entries as written: the six high-value queries (closest-level,
 # stats envelope, curate, simhash near-dups, incremental CC, media embed)
-# sit inside it; the subsumed one-expression queries (q59-q63), the
-# generation demos (q53/q54) and q36 (bibliography refs — its operators
-# O-31/O-44 stay driver-covered via q47_compendium) sit after position 50,
-# still registered and still locally parity-checked by
-# tests/test_oracle_parity.py.  qNN prefixes are NOT stable across rounds —
-# longitudinal comparisons must key on the name suffix.
+# sit inside it; the subsumed one-expression queries (q59-q63) and q36
+# (bibliography refs — its operators O-31/O-44 stay driver-covered via
+# q47_compendium) sit after position 50, still registered and still locally
+# parity-checked by tests/test_oracle_parity.py.  Round 6 ROTATION: q53/q54
+# (O-5's corpus halves — the only queries never driver-hash-checked in
+# rounds 1-5) moved INTO the window, displacing q37_entity_context (O-44
+# stays driver-covered by q47_compendium, which embeds the same
+# context-assembly expressions) and q17_linked_stats (O-23's five output
+# columns are a strict subset of q15_stats_envelope — identical formulas in
+# stats.statistics_envelope vs stats.linked_stats, so the driver keeps
+# hash-checking them via q15).  Out-of-window queries rotate back per the
+# policy below.  qNN prefixes are NOT stable across rounds — longitudinal
+# comparisons must key on the name suffix.
+#
+# ROTATION POLICY (round 6+): the registry holds >50 queries; each round,
+# any query that has not had a driver row for two consecutive rounds should
+# be rotated into the window by swapping with a dual-covered row (one whose
+# operator keeps a second driver row), so every registered query gets a
+# driver hash-check at least every other round.
 QUERIES = {
     "q01_docs_derive": q_docs_derive,
     "q02_clean_text": q_clean_text,
@@ -831,7 +863,6 @@ QUERIES = {
     "q14_types_distribution": q_types_distribution,
     "q15_stats_envelope": q_stats_envelope,
     "q16_top10_all": q_top10_all,
-    "q17_linked_stats": q_linked_stats,
     "q18_extraction_stats": q_extraction_stats,
     "q19_canonicalize": q_canonicalize,
     "q20_dedup_exact": q_dedup_exact,
@@ -849,7 +880,6 @@ QUERIES = {
     "q32_sessionize": q_sessionize,
     "q33_curate": q_curate,
     "q35_kb_bucketed": q_kb_bucketed,
-    "q37_entity_context": q_entity_context,
     "q38_split_sentences": q_split_sentences,
     "q39_qa_parse": q_qa_parse,
     "q40_media_features": q_media_features,
@@ -864,13 +894,15 @@ QUERIES = {
     "q50_ivf_topk": q_ivf_topk,
     "q51_kmeans": q_kmeans,
     "q52_ivf_index": q_ivf_index,
-    "q64_media_embed": q_media_embed,
-    # ---- insertion position 51+: registered, oracle'd, locally checked ----
-    "q34_qa_distribution": q_qa_distribution,
-    "q36_compendium_refs": q_compendium_refs,
-    "q41_frame_sample": q_frame_sample,
     "q53_synonyms": q_synonyms,
     "q54_translate": q_translate,
+    "q64_media_embed": q_media_embed,
+    # ---- insertion position 51+: registered, oracle'd, locally checked ----
+    "q17_linked_stats": q_linked_stats,
+    "q34_qa_distribution": q_qa_distribution,
+    "q36_compendium_refs": q_compendium_refs,
+    "q37_entity_context": q_entity_context,
+    "q41_frame_sample": q_frame_sample,
     "q59_nodes": q_nodes,
     "q60_top10_categories": q_top10_categories,
     "q61_split_text_char": q_split_text_char,

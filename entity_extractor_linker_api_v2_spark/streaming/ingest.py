@@ -160,6 +160,17 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
 # ---------------------------------------------------------------------------
 # incremental maintenance folds (foreachBatch)
 #
+# BATCH SIZING (round-5 advice): both stream entry points default
+# max_files_per_trigger=64 — with trigger(availableNow) and the default None
+# a FIRST run over a pre-existing large corpus would deliver the whole
+# backlog as ONE micro-batch, and the folds' batch-bounded probe structures
+# (the neardup key probe, canonicalize's broadcast batch_nodes) are sized
+# for micro-batches, not full corpora.  Both folds ALSO degrade gracefully
+# on a fat batch: the neardup key probe switches from an IN-literal
+# partition-pruned scan to a semi-join above NEARDUP_INLIST_MAX distinct
+# keys, and merge_components_delta drops its forced broadcasts above
+# DELTA_BROADCAST_MAX_NODES batch nodes (AQE then picks the strategy).
+#
 # Both folds share one durability design (round-4 review items):
 #   * every per-batch write lands in its OWN batch_id=<N> partition dir with
 #     mode("overwrite") — foreachBatch is at-least-once, so a batch replayed
@@ -231,7 +242,7 @@ def read_components(spark: SparkSession, state_dir: str,
 
 def canonicalize_stream(spark: SparkSession, docs_dir: str, state_dir: str,
                         checkpoint_dir: str,
-                        max_files_per_trigger: int | None = None,
+                        max_files_per_trigger: int | None = 64,
                         compact_every: int = 8) -> None:
     """Streaming incremental canonicalization (O-29's maintenance story,
     now an actual stream): each micro-batch's linked entities contribute
@@ -315,7 +326,7 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
 def neardup_stream(spark: SparkSession, docs_dir: str, state_dir: str,
                    pairs_dir: str, checkpoint_dir: str,
                    max_hamming: int = 3, bucket_cap: int = 0,
-                   max_files_per_trigger: int | None = None,
+                   max_files_per_trigger: int | None = 64,
                    compact_every: int = 8) -> None:
     """Streaming near-duplicate maintenance — the dedup analog of
     ``canonicalize_stream``: each micro-batch simhashes its NEW documents,
@@ -360,11 +371,21 @@ def neardup_stream(spark: SparkSession, docs_dir: str, state_dir: str,
     q.awaitTermination()
 
 
+# above this many distinct band keys in one micro-batch, neardup_fold's
+# history probe switches from an IN-literal (static partition pruning) to a
+# semi-join — an IN list with millions of literals is a plan-size /
+# expression-compile hazard, not a data-path one
+NEARDUP_INLIST_MAX = 10_000
+
+
 def neardup_fold(s: SparkSession, batch: DataFrame, batch_id: int,
                  state_dir: str, pairs_dir: str, max_hamming: int = 3,
-                 bucket_cap: int = 0, compact_every: int = 8) -> None:
+                 bucket_cap: int = 0, compact_every: int = 8,
+                 inlist_max: int = NEARDUP_INLIST_MAX) -> None:
     """One idempotent micro-batch fold of near-dup maintenance
-    (module-level so the replay tests can drive it directly)."""
+    (module-level so the replay tests can drive it directly).
+    `inlist_max` caps the driver-collected key set (see NEARDUP_INLIST_MAX);
+    tests lower it to force the semi-join probe shape."""
     import shutil
 
     from pyspark.errors import AnalysisException
@@ -384,16 +405,42 @@ def neardup_fold(s: SparkSession, batch: DataFrame, batch_id: int,
           .withColumn("batch_id", F.lit(int(batch_id)))
           .localCheckpoint())
     # the batch's key set drives partition pruning on the history scan —
-    # O(|batch|) driver-side, the incremental analog of an index lookup
-    keys = [r["bkey"] for r in nb.select("bkey").distinct().collect()]
+    # O(|batch|) driver-side, the incremental analog of an index lookup.
+    # FAT-BATCH GUARD (round-5 advice): collect at most inlist_max+1 keys;
+    # a catch-up batch with more distinct keys would bloat one Filter
+    # expression with millions of literals (plan-compile risk before any
+    # data moves), so above the threshold the probe becomes a semi-join on
+    # bkey instead — no driver-side key set at all, AQE picks the join
+    # strategy, and partition pruning degrades to a scan of the (bounded,
+    # compacted) history rather than a broken plan.
+    key_rows = (nb.select("bkey").distinct().limit(inlist_max + 1).collect())
     try:
         hist = (s.read.option("basePath", hist_dir).parquet(hist_dir)
-                .filter((F.col("batch_id") != batch_id)  # replay safety
-                        & F.col("bkey").isin(keys))
-                .select("doc_id", "simhash", "bkey", "batch_id"))
+                .filter(F.col("batch_id") != batch_id))  # replay safety
+        if len(key_rows) <= inlist_max:
+            hist = hist.filter(
+                F.col("bkey").isin([r["bkey"] for r in key_rows]))
+        else:
+            hist = hist.join(nb.select("bkey").distinct(), "bkey",
+                             "left_semi")
+        hist = hist.select("doc_id", "simhash", "bkey", "batch_id")
     except AnalysisException:
         hist = s.createDataFrame(
             [], "doc_id long, simhash string, bkey string, batch_id long")
+    if bucket_cap:
+        # a crash mid-vacuum of an earlier compaction can leave BOTH the
+        # snapshot and some not-yet-deleted delta dirs readable until the
+        # next sweep; pairs stay correct via distinct(), but duplicate
+        # history rows must not consume bucket_cap slots (transient
+        # over-rejection of new rows) — dedupe the PRUNED probe
+        # (batch-sized, cheap) before the cap window, keeping each row's
+        # EARLIEST batch_id so its arrival rank is preserved.  simhash is a
+        # pure function of the doc text, so any surviving copy carries the
+        # same value.
+        hist = (hist.groupBy("doc_id", "bkey")
+                .agg(F.min_by("simhash", "batch_id").alias("simhash"),
+                     F.min("batch_id").alias("batch_id"))
+                .select("doc_id", "simhash", "bkey", "batch_id"))
     left = hist.unionByName(nb)
     if bucket_cap:
         # write-time cap semantics: ARRIVAL order wins — earlier batches

@@ -19,6 +19,10 @@ def test_headline_line_fits_driver_tail():
         "metric": "kg_pipeline_headline_queries",
         "value": 123.456, "unit": "sec", "sf": 0.1, "pages": 1_000_000,
         "pipeline_sec": 25.437, "pages_per_sec": 39412.7,
+        "repeat_spread": 1.234,
+        "pipeline_windows": [{"sec": 25.437, "pps": 39412.7,
+                              "spread": 1.234, "runs": [38000.1] * 6,
+                              "steal": [0] * 6}] * 2,
         "scaling_efficiency": 0.812, "scaling_pair": "local[1]->local[4]",
         "scaling_efficiency_1_to_4": 0.812,
         "scaling_efficiency_2_to_8": 0.803, "scaling_pinned": True,
@@ -39,6 +43,7 @@ def test_headline_line_fits_driver_tail():
     assert "entity_cache_hit" not in line
     assert "scaling_attempts" not in line
     assert "pipeline_runs" not in line
+    assert "pipeline_windows" not in line
     parsed = json.loads(line)
     assert parsed["value"] == 123.456
     assert parsed["scaling_efficiency"] == 0.812

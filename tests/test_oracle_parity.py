@@ -28,9 +28,27 @@ def test_driver_window_is_first_50_insertion_positions():
         "q15_stats_envelope", "q19_canonicalize", "q33_curate",
         "q42_simhash_near_dups", "q44_kb_build", "q45_canonicalize_incr",
         "q50_ivf_topk", "q51_kmeans", "q64_media_embed",
+        # round-6 rotation: O-5's corpus halves, never driver-checked in
+        # rounds 1-5, swapped in for q37 (O-44 dual-covered by q47) and
+        # q17 (O-23's columns are a strict subset of q15's envelope)
+        "q53_synonyms", "q54_translate",
     }
     missing = must_be_checked - set(window)
     assert not missing, f"high-value queries outside the driver window: {missing}"
+
+
+def test_linked_stats_is_strict_subset_of_envelope(spark):
+    """Guards the round-6 rotation rationale: displacing q17_linked_stats
+    from the driver window is sound only while its five output columns are
+    computed by the same formulas inside q15_stats_envelope.  Compares the
+    actual values at sf0.001."""
+    from entity_extractor_linker_api_v2_spark.plans.queries import (
+        q_linked_stats, q_stats_envelope)
+    cols = ["total_entities", "linked_wikipedia", "linked_wikidata",
+            "wikipedia_percent", "wikidata_percent"]
+    lhs = q_linked_stats(spark, SF_SMALL).select(*cols).collect()
+    rhs = q_stats_envelope(spark, SF_SMALL).select(*cols).collect()
+    assert lhs == rhs
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

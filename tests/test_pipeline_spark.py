@@ -94,3 +94,47 @@ def test_mention_dedup_keeps_first(spark):
         rows, "url string, link_lang string, surface string, label string, type string, pos int")
     out = M.dedup_and_cap(df).collect()
     assert len(out) == 1 and out[0].pos == 5
+
+
+def test_pipeline_chain_linker_compendium_qa_one_lineage(spark):
+    """Reference /pipeline chain (app/api/v1/pipeline.py:196-265): linker →
+    compendium → qa as ONE DataFrame lineage from pipeline_from_docs output,
+    in BOTH linker modes.
+
+    extract mode: the chained outputs must be value-identical to the
+    per-stage driver queries q47_compendium / q48_qa_pairs (which build
+    their own entities via the fused path — this also re-asserts
+    fused ≡ staged at the chain level).  generate mode: the same chain must
+    run end-to-end with generate-mode row-count invariants (one compendium
+    row per doc; one QA pair per non-empty-extract entity)."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_linker_api_v2_spark.plans.pipeline import (
+        pipeline_from_docs)
+    from entity_extractor_linker_api_v2_spark.plans.queries import (
+        compendium_from, q_compendium, q_qa_pairs, qa_pairs_from)
+    from entity_extractor_linker_api_v2_spark.sources import tables
+
+    docs = tables.docs_table(spark, SF_SMALL, with_html=True)
+    plain_docs = tables.docs_table(spark, SF_SMALL, with_html=False)
+
+    # --- extract mode: chain ≡ per-stage queries (value-level) ---
+    ents = pipeline_from_docs(spark, docs)["entities"].persist()
+    comp = compendium_from(plain_docs, ents)
+    qa = qa_pairs_from(ents)
+    want_comp = sorted(tuple(r) for r in q_compendium(spark, SF_SMALL).collect())
+    want_qa = sorted(tuple(r) for r in q_qa_pairs(spark, SF_SMALL).collect())
+    assert sorted(tuple(r) for r in comp.collect()) == want_comp
+    assert sorted(tuple(r) for r in qa.collect()) == want_qa
+    assert len(want_comp) > 0 and len(want_qa) > 0
+
+    # --- generate mode: same chain, generate-mode invariants ---
+    gents = pipeline_from_docs(spark, docs, mode="generate")["entities"].persist()
+    gcomp = compendium_from(plain_docs, gents)
+    gqa = qa_pairs_from(gents)
+    assert gcomp.count() == plain_docs.count()  # one markdown per doc
+    assert gqa.count() == gents.filter(F.col("extract") != "").count()
+    # every generate-mode QA question follows the O-5 template
+    assert gqa.filter(~F.col("question").startswith("Was ist ")).count() == 0
+    ents.unpersist()
+    gents.unpersist()

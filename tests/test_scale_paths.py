@@ -77,12 +77,14 @@ def _rows(df):
 
 def test_windowed_external_table_queries_are_reinvocable(spark):
     """q35_kb_bucketed and q52_ivf_index (the two driver-window queries that
-    saveAsTable to a fresh mkdtemp path per call) must survive being called
+    saveAsTable to an external _scratch path) must survive being called
     TWICE in one session — the shape a driver retry or entry()+queries()
-    double-run produces.  The second call re-creates the catalog entry with
-    mode('overwrite') at a NEW external location; results must be identical
-    both times (guards against Spark refusing a location change on an
-    existing external table)."""
+    double-run produces.  _scratch reuses ONE dir per tag, so the second
+    call re-creates the catalog entry with mode('overwrite') at the SAME
+    external path; results must be identical both times (guards the
+    overwrite-in-place design plus the probe session's refreshTable — a
+    stale child-session relation cache would serve the first build's
+    files)."""
     from entity_extractor_linker_api_v2_spark.plans.queries import (
         QUERIES)
     for key in ("q35_kb_bucketed", "q52_ivf_index"):

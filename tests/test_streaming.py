@@ -553,3 +553,106 @@ def test_canonicalize_fold_empty_edge_batch(spark, tmp_path):
            for r in read_components(spark, state_dir).collect()}
     assert got == want
     assert os.path.isdir(f"{state_dir}/commits/batch_id=2")
+
+
+def test_neardup_fold_semijoin_probe_matches_inlist(spark, tmp_path):
+    """Fat-batch guard (round-5 advice): above `inlist_max` distinct band
+    keys the history probe switches from an IN-literal partition-pruned
+    scan to a semi-join.  Both probe shapes must produce identical pairs
+    AND identical history state across a multi-batch fold sequence."""
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import neardup_fold
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def run(tag, **kw):
+        state, pairs = str(tmp_path / f"s_{tag}"), str(tmp_path / f"p_{tag}")
+        neardup_fold(spark, b0, 0, state, pairs, **kw)
+        neardup_fold(spark, b1, 1, state, pairs, **kw)
+        got_pairs = sorted((r["a"], r["b"], r["hamming"])
+                           for r in spark.read.parquet(pairs).collect())
+        hist = sorted((r["doc_id"], r["simhash"], r["bkey"], r["batch_id"])
+                      for r in spark.read.parquet(f"{state}/hist").collect())
+        return got_pairs, hist
+
+    want = run("inlist")                    # default: IN-literal probe
+    got = run("semijoin", inlist_max=0)     # force the semi-join probe
+    assert got == want and len(want[0]) > 0
+
+
+def test_neardup_fold_fat_batch_completes(spark, tmp_path):
+    """A catch-up batch far past NEARDUP_INLIST_MAX distinct keys (the
+    one-giant-availableNow-batch shape) must complete without a
+    driver-collected key set: 100k docs in ONE fold, with planted
+    duplicates whose pairs must all be found in a follow-up batch."""
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import neardup_fold
+
+    state_dir, pairs_dir = str(tmp_path / "state"), str(tmp_path / "pairs")
+    # 100k short unique-ish docs: id-dependent word soup, 4 bands each ->
+    # ~400k distinct keys >> inlist_max
+    base = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("dok text nummer "), F.col("id").cast("string"),
+                 F.lit(" inhalt "), F.conv(F.col("id"), 10, 36),
+                 F.lit(" ende "), F.conv(F.col("id") * 7919, 10, 29))
+        .alias("text"))
+    neardup_fold(spark, base, 0, state_dir, pairs_dir, inlist_max=1000)
+    # follow-up batch: 50 exact clones of existing docs -> each must pair
+    # with its original via the (semi-join or in-list) history probe
+    clones = (base.filter(F.col("doc_id") % 2000 == 0)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    neardup_fold(spark, clones, 1, state_dir, pairs_dir, inlist_max=1000)
+    pairs = spark.read.parquet(pairs_dir)
+    got = {(r["a"], r["b"]) for r in
+           pairs.filter(F.col("hamming") == 0).collect()}
+    want = {(i, i + 1_000_000) for i in range(0, 100_000, 2000)}
+    assert want <= got
+
+
+def test_neardup_fold_cap_ignores_crash_duplicate_history(spark, tmp_path):
+    """A crash mid-vacuum leaves duplicate history rows (snapshot + stale
+    delta dirs) until the next sweep; the write-time bucket cap must not
+    let those duplicates consume cap slots.  Simulates the leftover by
+    copying a history partition to a second batch_id, then folds a new doc
+    with bucket_cap=2: the new doc's rows must still be appended (one
+    logical occupant + the new doc fit the cap), not crowded out by the
+    duplicate."""
+    import shutil
+
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import neardup_fold
+
+    state_dir, pairs_dir = str(tmp_path / "state"), str(tmp_path / "pairs")
+    mk = lambda i, t: spark.createDataFrame([(i, t)], "doc_id long, text string")
+    text = "identischer inhalt fuer alle drei dokumente im selben bucket"
+    neardup_fold(spark, mk(1, text), 0, state_dir, pairs_dir, bucket_cap=2)
+    # crash leftover: batch 0's rows appear AGAIN under batch_id=1
+    shutil.copytree(f"{state_dir}/hist/batch_id=0",
+                    f"{state_dir}/hist/batch_id=1")
+    neardup_fold(spark, mk(2, text), 2, state_dir, pairs_dir, bucket_cap=2)
+    hist_docs = {r["doc_id"] for r in
+                 spark.read.parquet(f"{state_dir}/hist").collect()}
+    assert 2 in hist_docs, \
+        "crash-duplicate history rows consumed the new doc's cap slot"
+    got = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_dir).collect()}
+    assert (1, 2) in got
+
+
+def test_merge_components_delta_no_broadcast_path_matches(spark, monkeypatch):
+    """Fat-batch guard: above DELTA_BROADCAST_MAX_NODES batch nodes the
+    delta merge drops its forced broadcasts (AQE picks the strategy); the
+    result must be identical to the broadcast-hinted path."""
+    from entity_extractor_linker_api_v2_spark.operators import canonicalize as C
+
+    comps = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d")],
+        "node string, comp string")
+    edges = spark.createDataFrame([("b", "c"), ("e", "d")],
+                                  "a string, b string")
+    want = sorted(tuple(r) for r in
+                  C.merge_components_delta(comps, edges).collect())
+    monkeypatch.setattr(C, "DELTA_BROADCAST_MAX_NODES", 0)
+    got = sorted(tuple(r) for r in
+                 C.merge_components_delta(comps, edges).collect())
+    assert got == want and len(want) > 0
