@@ -431,13 +431,21 @@ def sentences_case_sql(col: str = "doc_id") -> str:
     return f"(CASE {col} % {len(SENTENCES)} {whens} END)"
 
 
+# url doc-id zero-pad width — shared by the Spark side (tables.derive_docs),
+# the DuckDB oracle (docs_cte below) and the python twin (tests/refpipe.py).
+# 8 digits = ids < 10^8: wide enough for the 10M-page (sf1.0 x200) scale-step
+# corpus; lpad TRUNCATES longer ids (silent url collisions), so
+# tables.replicate_documents guards the bound.
+URL_ID_DIGITS = 8
+
+
 def docs_cte(documents_rel: str = "documents") -> str:
     """Derivation of the Common-Crawl-shaped corpus (url, warc_ts, body_text,
     lang, link_lang) from the driver's `documents` table — identical to
     sources.tables.docs_table on the Spark side."""
     return (
         f"docs AS (SELECT "
-        f"'https://test.example/' || lang || '/doc' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, "
+        f"'https://test.example/' || lang || '/doc' || lpad(CAST(doc_id AS VARCHAR), {URL_ID_DIGITS}, '0') AS url, "
         f"TIMESTAMP '2025-01-01 00:00:00' + to_minutes(doc_id) AS warc_ts, "
         f"text || ' ' || {sentences_case_sql()} || "
         f"(CASE WHEN doc_id % 2 = 0 THEN ' ' || {_q(SKEW_SENTENCE)} ELSE '' END) AS body_text, "

@@ -15,7 +15,11 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "eel-v2-spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """`extra_conf` entries are applied LAST, so callers can override any
+    default (e.g. scripts/skew_check.py re-enables the UI for the task-time
+    quantile REST probes)."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
@@ -37,4 +41,6 @@ def get_spark(app_name: str = "eel-v2-spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

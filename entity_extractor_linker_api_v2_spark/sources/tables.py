@@ -48,15 +48,18 @@ def replicate_documents(documents: DataFrame, k: int, heavy: int = 1) -> DataFra
     ×k rows (each copy gets a distinct doc_id = doc_id*k + copy, preserving
     the sentence/skew injection pattern) and ×heavy text length (text
     repeated, space-joined — real web pages are KBs, the driver rows are
-    ~400 B).  doc_id must stay under 10^6: the url template zero-pads to 6
-    digits and lpad TRUNCATES longer ids, which would silently collide urls.
+    ~400 B).  doc_id must stay under 10^URL_ID_DIGITS: the url template
+    zero-pads to that width and lpad TRUNCATES longer ids, which would
+    silently collide urls.
     """
     docs = documents
     if k > 1:
         mx = docs.agg(F.max("doc_id")).collect()[0][0]
-        if (mx + 1) * k > 1_000_000:  # max id = (mx+1)*k - 1 must stay < 10^6
+        limit = 10 ** fixtures.URL_ID_DIGITS
+        if (mx + 1) * k > limit:  # max id = (mx+1)*k - 1 must stay < limit
             raise ValueError(f"replicate k={k} with max doc_id={mx} overflows the "
-                             "6-digit url namespace (urls would collide)")
+                             f"{fixtures.URL_ID_DIGITS}-digit url namespace "
+                             "(urls would collide)")
         docs = (docs
                 .withColumn("_copy", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
                 .withColumn("doc_id", F.col("doc_id") * k + F.col("_copy"))
@@ -74,7 +77,8 @@ def derive_docs(d: DataFrame, with_html: bool = True) -> DataFrame:
     )
     out = (
         d.withColumn("url", F.concat(F.lit("https://test.example/"), F.col("lang"),
-                                     F.lit("/doc"), F.lpad(F.col("doc_id").cast("string"), 6, "0")))
+                                     F.lit("/doc"), F.lpad(F.col("doc_id").cast("string"),
+                                                           fixtures.URL_ID_DIGITS, "0")))
         .withColumn("warc_ts", F.expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)"))
         .withColumn("body_text", body)
         .withColumn("link_lang", F.when(F.col("lang") == "de", F.lit("de")).otherwise(F.lit("en")))

@@ -190,6 +190,32 @@ def main() -> None:
             "```\n" + plan_of(probe)
             + "Scan PartitionFilters (executed plan):\n"
             + part_line.strip()[:400] + "\n```\n")
+
+        # fat-batch shape (round-6): above NEARDUP_INLIST_MAX distinct keys
+        # the fold uses a semi-join instead of the IN-literal
+        nb_keys = (docs.select(F.md5("text").alias("bkey")).distinct()
+                   .limit(64))
+        probe2 = hist.filter(F.col("batch_id") != 1) \
+            .join(nb_keys, "bkey", "left_semi")
+        plan2 = plan_of(probe2)
+        join_line = next((ln.strip() for ln in plan2.splitlines()
+                          if "Join" in ln),
+                         "!! NO JOIN — semi-join probe did not plan a join")
+        sections.append(
+            "## Streaming near-dup history probe, FAT-batch shape (round-6)\n\n"
+            "Check: above NEARDUP_INLIST_MAX (10k) distinct band keys the\n"
+            "probe becomes `history LEFT SEMI JOIN batch_keys ON bkey` —\n"
+            "no driver-collected key list, so a catch-up batch with millions\n"
+            "of distinct keys cannot bloat one Filter expression (plan-\n"
+            "compile hazard).  The batch key set is micro-batch-derived, so\n"
+            "the planner broadcasts it; scan-level static pruning degrades\n"
+            "to the (bounded, compacted) history scan + the replay-guard\n"
+            "partition filter, which is the right trade above the threshold.\n"
+            "Equivalence to the IN-literal shape is pytest-asserted\n"
+            "(tests/test_streaming.py::"
+            "test_neardup_fold_semijoin_probe_matches_inlist).\n\n"
+            "```\n" + plan2 + "Join (executed plan): " + join_line[:300]
+            + "\n```\n")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -24,7 +24,8 @@ def derive_docs(documents_rows) -> list[tuple[str, str, str]]:
         body = f"{text} {fixtures.SENTENCES[doc_id % n]}"
         if doc_id % 2 == 0:
             body += " " + fixtures.SKEW_SENTENCE
-        url = f"https://test.example/{lang}/doc{doc_id:06d}"
+        url = (f"https://test.example/{lang}/doc"
+               f"{doc_id:0{fixtures.URL_ID_DIGITS}d}")
         out.append((url, body, "de" if lang == "de" else "en"))
     return out
 
