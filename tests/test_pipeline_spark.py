@@ -138,3 +138,26 @@ def test_pipeline_chain_linker_compendium_qa_one_lineage(spark):
     assert gqa.filter(~F.col("question").startswith("Was ist ")).count() == 0
     ents.unpersist()
     gents.unpersist()
+
+
+def test_replicate_guard_matches_url_namespace(spark):
+    """replicate_documents must reject a k that would push doc ids past the
+    URL_ID_DIGITS zero-pad width (lpad TRUNCATES over-length ids in both
+    Spark and DuckDB — silent url collisions), and accept one that fits.
+    The width was widened 6->8 digits for the 10M-page scale-step corpus;
+    this pins guard and width together so neither moves alone."""
+    import pytest as _pytest
+
+    from entity_extractor_linker_api_v2_spark import fixtures
+    from entity_extractor_linker_api_v2_spark.sources import tables
+
+    limit = 10 ** fixtures.URL_ID_DIGITS
+    df = spark.createDataFrame(
+        [(limit // 10 - 1, "t", "de")], "doc_id long, text string, lang string")
+    # (max+1)*k == limit exactly -> max id = limit-1, still representable
+    ok = tables.replicate_documents(df, 10)
+    assert ok.count() == 10
+    derived = tables.derive_docs(ok, with_html=False)
+    assert derived.select("url").distinct().count() == 10
+    with _pytest.raises(ValueError, match="url namespace"):
+        tables.replicate_documents(df, 11)
