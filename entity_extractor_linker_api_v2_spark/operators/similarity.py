@@ -302,7 +302,8 @@ def _probe_session(spark):
 
 def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding", nprobe: int = 1,
-                     centroids: DataFrame | None = None) -> DataFrame:
+                     centroids: DataFrame | None = None,
+                     rebind: bool = False) -> DataFrame:
     """IVF search against a ``save_ivf_index`` table: rank centroids by
     query dot, read ONLY the nprobe matching buckets (scan-level bucket
     pruning via the IN-literal filter), exact cosine inside them.
@@ -311,10 +312,15 @@ def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
     the difference is the physical plan — Scan(pruned buckets) → Project →
     TakeOrderedAndProject, zero Exchange, zero Join.
 
-    The returned frame is bound to a cached probe CHILD session (same
-    SparkContext and catalog, different conf — see _probe_session); collect
-    it or write it, but don't join it against frames from the parent
-    session (cross-session plans fail)."""
+    By default the returned frame is bound to a cached probe CHILD session
+    (same SparkContext and catalog, different conf — see _probe_session);
+    collect it or write it, but don't join it against frames from the
+    parent session (cross-session plans fail).  Pass ``rebind=True`` to get
+    a frame in the CALLER's session instead: the top-k result is ≤k rows,
+    so it is collected eagerly (the pruned probe still executes on the
+    child session) and recreated via createDataFrame — joinable with any
+    parent-session frame, at the cost of eager execution and a plan that no
+    longer shows the pruned scan."""
     import math
     q = query_vector()
     qn = math.sqrt(sum(x * x for x in q))
@@ -339,10 +345,13 @@ def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
                   .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
                   .select("centroid_id").collect())]
     score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
-    return (idx.filter(F.col("centroid_id").isin(probe_ids))
-            .select(F.col(id_col), score.alias("_s"))
-            .orderBy(F.desc("_s"), id_col).limit(k)
-            .select(id_col, F.round("_s", 3).alias("cosine")))
+    out = (idx.filter(F.col("centroid_id").isin(probe_ids))
+           .select(F.col(id_col), score.alias("_s"))
+           .orderBy(F.desc("_s"), id_col).limit(k)
+           .select(id_col, F.round("_s", 3).alias("cosine")))
+    if rebind:
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    return out
 
 
 def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,

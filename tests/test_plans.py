@@ -196,6 +196,16 @@ def test_ivf_index_probe_prunes_buckets(spark):
         assert int(m.group(1)) <= 3 < int(m.group(2)), m.groups()
         assert "Exchange" not in plan, plan
         assert "Join" not in plan, plan
+        # rebind=True: same values, but the frame lives in the CALLER's
+        # session so it joins cleanly with parent-session frames (the
+        # default child-bound frame cannot — cross-session plans fail)
+        bound = similarity.ivf_topk_indexed(spark, "t_ivf_index", nprobe=3,
+                                            rebind=True)
+        assert [tuple(r) for r in bound.collect()] == \
+               [tuple(r) for r in
+                similarity.ivf_topk(emb, nprobe=3).collect()]
+        joined = bound.join(emb.select("vec_id", "label"), "vec_id")
+        assert joined.count() == bound.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_index")
         spark.sql("DROP TABLE IF EXISTS t_ivf_index_centroids")
