@@ -14,10 +14,11 @@ scale signal rather than a distribution-shift artifact:
     * lang      — drawn with sf0.1's observed lang frequencies
     * source    — src{doc_id % 20} (observed: exactly uniform over 20)
     * n_chars   — len(text) (observed invariant)
-    * exact-dup plant — sf0.1 has 8 duplicated texts per 5,000 docs; the
-                  same RATE is planted (docs whose rng draw < 16/5000 copy a
-                  previous doc's text), so exact/near-dup cluster structure
-                  scales linearly instead of quadratically
+    * exact-dup plant — sf0.1 has 8 copy-of-an-earlier-doc events per
+                  5,000 docs (8 dup groups of size 2); the same copy-event
+                  RATE is planted (rng draw < 8/5000 -> copy a previous
+                  doc's text), so exact/near-dup cluster structure scales
+                  linearly instead of quadratically
   embeddings (2,000 -> 20,000 rows at factor 10):
     * 10 labels with sf0.1's observed per-label means and per-dim stddevs
       (vectors = mean[label] + N(0, std[label])), so IVF/ANN cluster
@@ -41,7 +42,12 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 SEED = 42
-DUP_RATE = 16 / 5000  # docs that are a copy of an earlier doc (8 pairs/5k)
+# sf0.1 has 8 duplicate-text groups of size 2 per 5,000 docs, i.e. 8 docs
+# that are a COPY of an earlier doc — the copy-event rate this generator's
+# "dup_draw < DUP_RATE -> copy a previous doc" mechanism models.  (16/5000
+# would double the per-doc duplicate density: 16 is the count of docs
+# INVOLVED in a dup group, not the count of copy events.)
+DUP_RATE = 8 / 5000
 
 
 def make_documents(out_dir: str, factor: int) -> int:

@@ -70,10 +70,15 @@ def _run(snippet: str, *args: str, timeout: int = 3600) -> dict:
 def _pipeline(sf_dir: str, replicate: int, repeats: int = 3) -> dict:
     sys.path.insert(0, ROOT)
     from bench import _THROUGHPUT_SNIPPET
+    # the sf1.0 x200 leg streams ~70 GB of generated page text through one
+    # local-mode JVM; the 16g session default OOMs it — default the driver
+    # heap up unless the caller already chose one
+    env = {**os.environ,
+           "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "48g")}
     proc = subprocess.run(
         [sys.executable, "-c", _THROUGHPUT_SNIPPET, f"local[{CPUS}]", "-",
          sf_dir, str(replicate), str(HEAVY), str(repeats)],
-        capture_output=True, text=True, timeout=7200, cwd=ROOT)
+        capture_output=True, text=True, timeout=7200, cwd=ROOT, env=env)
     for line in proc.stdout.splitlines():
         if line.startswith("BENCH_JSON "):
             return json.loads(line[len("BENCH_JSON "):])
