@@ -1,0 +1,103 @@
+"""Alternative ingest formats for the documents table: JSONL and CSV.
+
+The driver ships parquet, and production would read Iceberg — but a
+web-scale corpus routinely arrives as JSONL (one record per line, the
+Common-Crawl / LLM-training-dump lingua franca) or CSV exports.  These
+readers normalize either format to the canonical documents schema so
+everything downstream (`tables.derive_docs` onward) is format-agnostic.
+
+Scale rules encoded here (the difference between one pass and two at
+100 TB):
+
+* **Explicit schema, never inference.**  `spark.read.json` without a
+  schema runs a FULL extra scan of the input just to infer types (and
+  `csv` with inferSchema does the same); at 100 TB that doubles the job.
+  Both readers always pass the canonical schema.
+* **PERMISSIVE + quarantine, never fail-the-job.**  A multi-TB dump has
+  malformed lines; one bad record must not kill a 1000-executor run.
+  Records that fail to parse land in a `_corrupt_record` column; callers
+  get (good, quarantine) so bad lines are auditable, not silently dropped
+  (CSV additionally needs the parsed-columns-all-null test below: its
+  permissive mode can emit a row of nulls instead of flagging).
+* **Line-splittable.**  JSONL (uncompressed or with a splittable codec)
+  and CSV both split on newlines, so scan parallelism comes from file
+  splits exactly like parquet row-groups — no repartition needed after
+  read.
+
+No reference analog (the FastAPI service ingests request payloads,
+app/api/v1/linker.py:137); this is engine surface the Spark build needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# canonical documents schema (TESTDATA.md), plus the PERMISSIVE-mode
+# corrupt-record column the readers strip before returning good rows
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+_CORRUPT = "_corrupt_record"
+_SCHEMA_WITH_CORRUPT = T.StructType(
+    list(DOCUMENTS_SCHEMA.fields) + [T.StructField(_CORRUPT, T.StringType())])
+
+_COLS = [f.name for f in DOCUMENTS_SCHEMA.fields]
+
+
+def _split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good rows in canonical column order, quarantined raw records).
+
+    A record is quarantined if the parser flagged it OR if every parsed
+    column came back null (CSV permissive mode can produce all-null rows
+    for garbage lines without setting the corrupt column)."""
+    all_null = F.lit(True)
+    for c in _COLS:
+        all_null = all_null & F.col(c).isNull()
+    bad = F.col(_CORRUPT).isNotNull() | all_null
+    good = parsed.filter(~bad).select(*_COLS)
+    quarantine = parsed.filter(bad).select(
+        F.coalesce(F.col(_CORRUPT),
+                   F.to_json(F.struct(*_COLS))).alias("raw"))
+    return good, quarantine
+
+
+def read_documents_jsonl(spark: SparkSession,
+                         path: str) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL documents dump. Returns (documents, quarantine)."""
+    parsed = (spark.read
+              .schema(_SCHEMA_WITH_CORRUPT)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", _CORRUPT)
+              .json(path))
+    return _split(parsed)
+
+
+def read_documents_csv(spark: SparkSession, path: str,
+                       header: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Read a CSV documents export. Returns (documents, quarantine)."""
+    parsed = (spark.read
+              .schema(_SCHEMA_WITH_CORRUPT)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", _CORRUPT)
+              .option("header", "true" if header else "false")
+              # multi-line text fields arrive quoted; embedded quotes
+              # escaped by doubling (RFC 4180, what df.write.csv emits)
+              .option("multiLine", "true")
+              .option("escape", '"')
+              .csv(path))
+    return _split(parsed)
+
+
+def write_documents_jsonl(df: DataFrame, path: str) -> None:
+    df.select(*_COLS).write.mode("overwrite").json(path)
+
+
+def write_documents_csv(df: DataFrame, path: str) -> None:
+    (df.select(*_COLS).write.mode("overwrite")
+     .option("header", "true").option("escape", '"').csv(path))
