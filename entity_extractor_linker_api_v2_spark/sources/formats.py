@@ -22,7 +22,11 @@ Scale rules encoded here (the difference between one pass and two at
 * **Line-splittable.**  JSONL (uncompressed or with a splittable codec)
   and CSV both split on newlines, so scan parallelism comes from file
   splits exactly like parquet row-groups — no repartition needed after
-  read.
+  read.  Compressed inputs read transparently by extension (.gz, .zst, …)
+  BUT gzip is not splittable: one .gz file = one task regardless of size,
+  so a 1 TB single-file dump serializes its scan.  At scale, ship many
+  moderate (~256 MB) compressed files or a splittable codec; the reader
+  needs no change either way.
 
 No reference analog (the FastAPI service ingests request payloads,
 app/api/v1/linker.py:137); this is engine surface the Spark build needs.

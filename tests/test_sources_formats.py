@@ -77,6 +77,23 @@ def test_jsonl_quarantines_corrupt_lines(spark, canon, tmp_path_factory):
                    '{"doc_id": 999, "text": "truncated rec']
 
 
+def test_gzipped_jsonl_reads_transparently(spark, canon, tmp_path_factory):
+    """Compression by extension needs no reader change (splittability is a
+    deployment concern — one .gz file = one task — not a parse concern)."""
+    import gzip
+    import json as _json
+    p = str(tmp_path_factory.mktemp("jsonl_gz"))
+    rows = canon.limit(40).collect()
+    with gzip.open(os.path.join(p, "docs.json.gz"), "wt") as f:
+        for r in rows:
+            f.write(_json.dumps(r.asDict()) + "\n")
+    good, quarantine = formats.read_documents_jsonl(spark, p)
+    assert good.count() == 40
+    assert quarantine.count() == 0
+    assert _rows(good) == sorted(
+        tuple(r[c] for c in formats._COLS) for r in rows)
+
+
 def test_ingested_docs_feed_the_pipeline(spark, canon, tmp_path_factory):
     """Format-agnostic downstream: derive_docs over JSONL-ingested rows
     equals derive_docs over the parquet canon."""
