@@ -1,0 +1,149 @@
+"""Streaming-path throughput: docs/sec for the three maintenance streams.
+
+The streaming folds have O(batch) cost evidence (merge_scale_check.py,
+flat across 4x state) and plan-asserted history pruning (EXPLAIN.md) —
+this measures the missing number: sustained docs/sec through each path
+when an availableNow trigger drains a multi-file corpus in micro-batches,
+checkpointing and committing state like a production incremental run.
+
+Paths measured (each in a fresh session, fresh checkpoint/state dirs):
+
+  * dedup    — stream_docs -> watermarked exact dedup
+               (dropDuplicatesWithinWatermark) -> noop sink
+  * canon    — canonicalize_stream: per-batch extract -> link -> entity
+               edges folded into persisted CC state (delta writes, commit
+               markers, periodic compaction)
+  * neardup  — neardup_stream: per-batch simhash -> banded history probe
+               (partition-pruned) -> pair emission + state append
+
+Input: a distribution-faithful corpus from make_scale_dir (FACTOR x
+sf0.1 = FACTOR x 5,000 DISTINCT docs, sf0.1's observed dup density /
+vocab / lang mix — the faithfulness tests/test_make_scale_dir.py pins),
+written across FILES parquet files; maxFilesPerTrigger=FILES/8 gives 8
+micro-batches.  NOT the bench's x200 replicated corpus: replication
+gives every doc 40+ exact copies, and near-dup PAIR EMISSION is
+inherently quadratic in duplicate-cluster size (40 copies -> C(40,2)=780
+pairs per source doc, ~4M pairs at 200k docs — measured 15x the wall at
+10x the docs).  That is a property of the pair-listing OUTPUT on a
+pathological input, not of the maintenance fold; production bounds it
+with the write-time bucket_cap, measured here at the batch-LSH default
+(64).  Rates are end-to-end wall (trigger start -> availableNow
+termination), so they include every per-batch fixed cost a real
+deployment pays (planning, state read, commit) — honest, pessimistic vs
+steady-state.
+
+Run solo: python scripts/streaming_rate.py   (writes STREAM_RATE.json)
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from entity_extractor_linker_api_v2_spark.session import get_spark  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FACTOR = int(os.environ.get("STREAM_RATE_FACTOR", "40"))  # 5k x 40 = 200k
+FILES = 32
+BUCKET_CAP = 64  # batch-LSH default; bounds the quadratic pair regime
+
+
+def _steal():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[8]) if len(parts) > 8 else 0
+
+
+def prepare_corpus(spark, out_dir: str) -> int:
+    import make_scale_dir
+    gen = tempfile.mkdtemp(prefix="srate_gen_")
+    make_scale_dir.make_documents(gen, FACTOR)
+    # the streaming source reads raw documents-shaped parquet (stream_docs
+    # applies derive_docs itself); split the single generated file into
+    # FILES shards so maxFilesPerTrigger yields real micro-batches
+    (spark.read.parquet(f"{gen}/documents.parquet").repartition(FILES)
+     .write.mode("overwrite").parquet(out_dir))
+    shutil.rmtree(gen, ignore_errors=True)
+    return spark.read.parquet(out_dir).count()
+
+
+def run_dedup(spark, docs_dir: str) -> float:
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import (
+        dedup_stream, stream_docs)
+    ck = tempfile.mkdtemp(prefix="srate_dedup_ck_")
+    docs = stream_docs(spark, docs_dir, max_files_per_trigger=FILES // 8)
+    t0 = time.perf_counter()
+    q = (dedup_stream(docs).writeStream.format("noop")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    el = time.perf_counter() - t0
+    shutil.rmtree(ck, ignore_errors=True)
+    return el
+
+
+def run_canon(spark, docs_dir: str) -> float:
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import (
+        canonicalize_stream)
+    st = tempfile.mkdtemp(prefix="srate_canon_state_")
+    ck = tempfile.mkdtemp(prefix="srate_canon_ck_")
+    t0 = time.perf_counter()
+    canonicalize_stream(spark, docs_dir, st, ck,
+                        max_files_per_trigger=FILES // 8)
+    el = time.perf_counter() - t0
+    shutil.rmtree(st, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return el
+
+
+def run_neardup(spark, docs_dir: str) -> float:
+    from entity_extractor_linker_api_v2_spark.streaming.ingest import (
+        neardup_stream)
+    st = tempfile.mkdtemp(prefix="srate_nd_state_")
+    pairs = tempfile.mkdtemp(prefix="srate_nd_pairs_")
+    ck = tempfile.mkdtemp(prefix="srate_nd_ck_")
+    t0 = time.perf_counter()
+    neardup_stream(spark, docs_dir, st, pairs, ck,
+                   bucket_cap=BUCKET_CAP,
+                   max_files_per_trigger=FILES // 8)
+    el = time.perf_counter() - t0
+    for d in (st, pairs, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    return el
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs_dir = tempfile.mkdtemp(prefix="srate_corpus_")
+    prep = get_spark(app_name="stream-rate-prep", master=f"local[{CPUS}]",
+                     shuffle_partitions=CPUS)
+    n_docs = prepare_corpus(prep, docs_dir)
+    prep.stop()
+
+    out = {"docs": n_docs, "files": FILES, "batches": 8,
+           "cpus": CPUS, "bucket_cap": BUCKET_CAP, "paths": {}}
+    for name, fn in (("dedup", run_dedup), ("canon", run_canon),
+                     ("neardup", run_neardup)):
+        # fresh session per path: independent state stores, no cache bleed
+        spark = get_spark(app_name=f"stream-rate-{name}",
+                          master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+        s0 = _steal()
+        el = fn(spark, docs_dir)
+        out["paths"][name] = {"sec": round(el, 2),
+                              "docs_per_sec": round(n_docs / el, 1),
+                              "steal_ticks": _steal() - s0}
+        spark.stop()
+
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    with open(os.path.join(root, "STREAM_RATE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
