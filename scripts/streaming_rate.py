@@ -117,16 +117,16 @@ def run_neardup(spark, docs_dir: str) -> float:
     return el
 
 
-def main() -> None:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _measure(factor: int) -> dict:
+    global FACTOR
+    FACTOR = factor
     docs_dir = tempfile.mkdtemp(prefix="srate_corpus_")
     prep = get_spark(app_name="stream-rate-prep", master=f"local[{CPUS}]",
                      shuffle_partitions=CPUS)
     n_docs = prepare_corpus(prep, docs_dir)
     prep.stop()
 
-    out = {"docs": n_docs, "files": FILES, "batches": 8,
-           "cpus": CPUS, "bucket_cap": BUCKET_CAP, "paths": {}}
+    out = {"docs": n_docs, "paths": {}}
     for name, fn in (("dedup", run_dedup), ("canon", run_canon),
                      ("neardup", run_neardup)):
         # fresh session per path: independent state stores, no cache bleed
@@ -138,8 +138,25 @@ def main() -> None:
                               "docs_per_sec": round(n_docs / el, 1),
                               "steal_ticks": _steal() - s0}
         spark.stop()
-
     shutil.rmtree(docs_dir, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # both corpus sizes in one artifact: the small point shows per-batch
+    # fixed cost, the 10x point shows it amortized — the wall-growth ratio
+    # between them is the claim BENCH.md makes, so it must be checkable
+    # from the artifact alone
+    small, big = FACTOR // 10 or 1, FACTOR
+    out = {"files": FILES, "batches": 8, "cpus": CPUS,
+           "bucket_cap": BUCKET_CAP,
+           f"factor_{small}": _measure(small),
+           f"factor_{big}": _measure(big)}
+    out["wall_growth"] = {
+        k: round(out[f"factor_{big}"]["paths"][k]["sec"]
+                 / out[f"factor_{small}"]["paths"][k]["sec"], 2)
+        for k in out[f"factor_{big}"]["paths"]}
     with open(os.path.join(root, "STREAM_RATE.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
