@@ -325,7 +325,7 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
 
 def neardup_stream(spark: SparkSession, docs_dir: str, state_dir: str,
                    pairs_dir: str, checkpoint_dir: str,
-                   max_hamming: int = 3, bucket_cap: int = 0,
+                   max_hamming: int = 3, bucket_cap: int = 64,
                    max_files_per_trigger: int | None = 64,
                    compact_every: int = 8) -> None:
     """Streaming near-duplicate maintenance — the dedup analog of
@@ -345,14 +345,19 @@ def neardup_stream(spark: SparkSession, docs_dir: str, state_dir: str,
     replay overwrites rather than re-appends (round-4 advice; commit-marker
     + per-batch-dir design in the block comment above).
 
-    With the default bucket_cap=0 the accumulated pairs equal the one-shot
-    batch ``simhash_near_dups(bucket_cap=0)`` over the full corpus
-    (pytest-asserted across 4 real micro-batches); bucket_cap>0 bounds
+    bucket_cap defaults to the batch path's ``dedup.BUCKET_CAP`` (64), NOT
+    to unbounded: pair emission is inherently quadratic in
+    duplicate-cluster size, and on a duplicate-saturated feed the uncapped
+    fold measured 15× the wall at 10× the docs (scripts/streaming_rate.py,
+    BENCH.md) — an unbounded default is the same backlog trap the finite
+    max_files_per_trigger default exists to prevent.  The cap bounds
     degenerate boilerplate buckets AT WRITE TIME (history buckets never
     exceed the cap — the cap window orders by (batch_id, doc_id), so
     earlier ARRIVALS win and a later batch can never evict already-written
     history rows), making incremental and one-shot results legitimately
-    divergent.  Every `compact_every` batches the fold snapshots all
+    divergent.  With an explicit bucket_cap=0 the accumulated pairs equal
+    the one-shot batch ``simhash_near_dups(bucket_cap=0)`` over the full
+    corpus (pytest-asserted across 4 real micro-batches).  Every `compact_every` batches the fold snapshots all
     history partitions into one and vacuums the older dirs + commit
     markers, bounding the per-batch listing cost."""
     docs = stream_docs(spark, docs_dir, max_files_per_trigger=max_files_per_trigger)
@@ -380,7 +385,7 @@ NEARDUP_INLIST_MAX = 10_000
 
 def neardup_fold(s: SparkSession, batch: DataFrame, batch_id: int,
                  state_dir: str, pairs_dir: str, max_hamming: int = 3,
-                 bucket_cap: int = 0, compact_every: int = 8,
+                 bucket_cap: int = 64, compact_every: int = 8,
                  inlist_max: int = NEARDUP_INLIST_MAX) -> None:
     """One idempotent micro-batch fold of near-dup maintenance
     (module-level so the replay tests can drive it directly).

@@ -220,8 +220,11 @@ def test_neardup_stream_matches_batch(spark, tmp_path):
     (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
      .repartition(4).write.parquet(docs_dir))
 
+    # bucket_cap=0 is the EXPLICIT exactness mode: the production default
+    # (64, matching dedup.BUCKET_CAP) legitimately diverges from one-shot
+    # on over-cap buckets, so the equivalence contract is cap-0 vs cap-0
     neardup_stream(spark, docs_dir, state_dir, pairs_dir, ck_dir,
-                   max_files_per_trigger=1)
+                   bucket_cap=0, max_files_per_trigger=1)
 
     got = [(r["a"], r["b"], r["hamming"])
            for r in spark.read.parquet(pairs_dir).collect()]
@@ -251,8 +254,9 @@ def test_neardup_fold_replay_is_idempotent(spark, tmp_path):
         .select("doc_id", "text")
     b0 = docs.filter(F.col("doc_id") % 2 == 0)
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
-    neardup_fold(spark, b0, 0, state_dir, pairs_dir)
-    neardup_fold(spark, b1, 1, state_dir, pairs_dir)
+    # explicit cap=0: this test's oracle is the UNCAPPED one-shot batch
+    neardup_fold(spark, b0, 0, state_dir, pairs_dir, bucket_cap=0)
+    neardup_fold(spark, b1, 1, state_dir, pairs_dir, bucket_cap=0)
 
     def snapshot():
         pairs = sorted((r["a"], r["b"], r["hamming"])
@@ -268,11 +272,11 @@ def test_neardup_fold_replay_is_idempotent(spark, tmp_path):
     assert set(want_pairs) == want
 
     # replay 1: marker intact -> skipped, nothing changes
-    neardup_fold(spark, b1, 1, state_dir, pairs_dir)
+    neardup_fold(spark, b1, 1, state_dir, pairs_dir, bucket_cap=0)
     assert snapshot() == (want_pairs, want_hist)
     # replay 2: crash before commit (marker gone) -> rewrite, still equal
     shutil.rmtree(f"{state_dir}/commits/batch_id=1")
-    neardup_fold(spark, b1, 1, state_dir, pairs_dir)
+    neardup_fold(spark, b1, 1, state_dir, pairs_dir, bucket_cap=0)
     assert snapshot() == (want_pairs, want_hist)
 
 
@@ -431,7 +435,7 @@ def test_neardup_fold_compaction_bounds_partitions(spark, tmp_path):
     n_batches = 6
     for i in range(n_batches):
         neardup_fold(spark, docs.filter(F.col("doc_id") % n_batches == i),
-                     i, state_dir, pairs_dir, compact_every=2)
+                     i, state_dir, pairs_dir, bucket_cap=0, compact_every=2)
 
     def dirs(p):
         return sorted(d for d in os.listdir(p) if d.startswith("batch_id="))
@@ -474,7 +478,7 @@ def test_neardup_fold_matches_batch_under_random_splits(spark, tmp_path,
     for i in range(k):
         b = docs.filter(bucket == i)
         sizes.append(b.count())
-        neardup_fold(spark, b, i, state_dir, pairs_dir)
+        neardup_fold(spark, b, i, state_dir, pairs_dir, bucket_cap=0)
     assert sum(sizes) == docs.count() and min(sizes) > 0
 
     got = [(r["a"], r["b"], r["hamming"])
@@ -598,12 +602,17 @@ def test_neardup_fold_fat_batch_completes(spark, tmp_path):
                  F.lit(" inhalt "), F.conv(F.col("id"), 10, 36),
                  F.lit(" ende "), F.conv(F.col("id") * 7919, 10, 29))
         .alias("text"))
-    neardup_fold(spark, base, 0, state_dir, pairs_dir, inlist_max=1000)
+    # cap=0: 100k docs over ~1k band buckets would evict most originals at
+    # the default write-time cap; this test exercises the fat-batch probe
+    # shape, so history must retain every planted original
+    neardup_fold(spark, base, 0, state_dir, pairs_dir, bucket_cap=0,
+                 inlist_max=1000)
     # follow-up batch: 50 exact clones of existing docs -> each must pair
     # with its original via the (semi-join or in-list) history probe
     clones = (base.filter(F.col("doc_id") % 2000 == 0)
               .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
-    neardup_fold(spark, clones, 1, state_dir, pairs_dir, inlist_max=1000)
+    neardup_fold(spark, clones, 1, state_dir, pairs_dir, bucket_cap=0,
+                 inlist_max=1000)
     pairs = spark.read.parquet(pairs_dir)
     got = {(r["a"], r["b"]) for r in
            pairs.filter(F.col("hamming") == 0).collect()}
