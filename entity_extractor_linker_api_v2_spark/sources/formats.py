@@ -19,10 +19,16 @@ Scale rules encoded here (the difference between one pass and two at
   get (good, quarantine) so bad lines are auditable, not silently dropped
   (CSV additionally needs the parsed-columns-all-null test below: its
   permissive mode can emit a row of nulls instead of flagging).
-* **Line-splittable.**  JSONL (uncompressed or with a splittable codec)
-  and CSV both split on newlines, so scan parallelism comes from file
-  splits exactly like parquet row-groups — no repartition needed after
-  read.  Compressed inputs read transparently by extension (.gz, .zst, …)
+* **Splittability is a format property — know which you have.**  JSONL
+  splits on newlines (JSON strings escape theirs as \\n), so scan
+  parallelism comes from file splits exactly like parquet row-groups.
+  CSV with RFC 4180 quoting can carry LITERAL newlines inside quoted
+  fields, which forces `multiLine` parsing — and a multiLine CSV file is
+  NOT splittable (one task per file).  The CSV reader defaults to
+  multiLine=True for correctness on arbitrary text columns; pass
+  multi_line=False for newline-free exports to get split parallelism
+  back, or prefer JSONL for large text dumps (it has no such trade-off).
+  Compressed inputs read transparently by extension (.gz, .zst, …)
   BUT gzip is not splittable: one .gz file = one task regardless of size,
   so a 1 TB single-file dump serializes its scan.  At scale, ship many
   moderate (~256 MB) compressed files or a splittable codec; the reader
@@ -82,17 +88,23 @@ def read_documents_jsonl(spark: SparkSession,
     return _split(parsed)
 
 
-def read_documents_csv(spark: SparkSession, path: str,
-                       header: bool = True) -> tuple[DataFrame, DataFrame]:
-    """Read a CSV documents export. Returns (documents, quarantine)."""
+def read_documents_csv(spark: SparkSession, path: str, header: bool = True,
+                       multi_line: bool = True
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Read a CSV documents export. Returns (documents, quarantine).
+
+    multi_line=True (default) parses RFC 4180 quoted fields with literal
+    embedded newlines — correct for arbitrary text, but one task per file
+    (see module doc); False restores split parallelism for exports whose
+    text is known newline-free."""
     parsed = (spark.read
               .schema(_SCHEMA_WITH_CORRUPT)
               .option("mode", "PERMISSIVE")
               .option("columnNameOfCorruptRecord", _CORRUPT)
               .option("header", "true" if header else "false")
-              # multi-line text fields arrive quoted; embedded quotes
-              # escaped by doubling (RFC 4180, what df.write.csv emits)
-              .option("multiLine", "true")
+              # quoted text fields; embedded quotes escaped by doubling
+              # (RFC 4180, what df.write.csv emits)
+              .option("multiLine", "true" if multi_line else "false")
               .option("escape", '"')
               .csv(path))
     return _split(parsed)

@@ -49,6 +49,17 @@ def test_csv_roundtrip_matches_parquet(spark, canon, tmp_path_factory):
     assert quarantine.count() == 0
 
 
+def test_csv_single_line_mode_on_newline_free_export(spark, canon,
+                                                     tmp_path_factory):
+    """multi_line=False (the splittable fast path) is exact on exports
+    whose text carries no literal newlines — the corpus tables qualify."""
+    p = str(tmp_path_factory.mktemp("csv1l") / "docs")
+    formats.write_documents_csv(canon, p)
+    good, quarantine = formats.read_documents_csv(spark, p, multi_line=False)
+    assert _rows(good) == _rows(canon)
+    assert quarantine.count() == 0
+
+
 def test_csv_handles_embedded_delimiters(spark, tmp_path_factory):
     src = spark.createDataFrame(
         [(1, 'a,b "quoted" c\nnext line', "de", "src0", 23),
@@ -75,6 +86,22 @@ def test_jsonl_quarantines_corrupt_lines(spark, canon, tmp_path_factory):
     bad = sorted(r["raw"] for r in quarantine.collect())
     assert bad == ["not json at all",
                    '{"doc_id": 999, "text": "truncated rec']
+
+
+def test_csv_quarantines_garbage_lines(spark, canon, tmp_path_factory):
+    """CSV permissive mode can emit an all-null row for a garbage line
+    instead of setting the corrupt column — the reader must quarantine
+    both shapes, not pass null docs downstream."""
+    p = str(tmp_path_factory.mktemp("csv_bad") / "docs")
+    formats.write_documents_csv(canon.limit(50), p)
+    with open(os.path.join(p, "part-bad.csv"), "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")   # header like any shard
+        f.write(",,,,\n")                              # all-null row
+        f.write("not-a-long,oops,de,src0,zzz\n")       # type-garbage row
+    good, quarantine = formats.read_documents_csv(spark, p)
+    assert good.count() == 50
+    assert good.filter(good.doc_id.isNull()).count() == 0
+    assert quarantine.count() == 2
 
 
 def test_gzipped_jsonl_reads_transparently(spark, canon, tmp_path_factory):
