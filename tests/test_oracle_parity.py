@@ -27,14 +27,72 @@ def test_driver_window_is_first_50_insertion_positions():
         "q11_entities", "q12_triples", "q13_closest_level",
         "q15_stats_envelope", "q19_canonicalize", "q33_curate",
         "q42_simhash_near_dups", "q44_kb_build", "q45_canonicalize_incr",
-        "q50_ivf_topk", "q51_kmeans", "q64_media_embed",
-        # round-6 rotation: O-5's corpus halves, never driver-checked in
-        # rounds 1-5, swapped in for q37 (O-44 dual-covered by q47) and
-        # q17 (O-23's columns are a strict subset of q15's envelope)
-        "q53_synonyms", "q54_translate",
+        "q50_ivf_topk", "q51_kmeans",
+        # round-7 rotation: q34/q36/q41 are due back per the policy (last
+        # driver rows in round 4); q53 keeps O-5 driver-covered while q54
+        # rotates out, q40 keeps multimodal covered while q64 rotates out,
+        # q39 keeps O-25/O-41 covered while q48 rotates out
+        "q34_qa_distribution", "q36_compendium_refs", "q41_frame_sample",
+        "q40_media_features", "q39_qa_parse", "q53_synonyms",
     }
     missing = must_be_checked - set(window)
     assert not missing, f"high-value queries outside the driver window: {missing}"
+
+
+def _suffix(name: str) -> str:
+    """qNN prefixes are not stable across rounds — history keys on the
+    name suffix (registry ordering note above the QUERIES literal)."""
+    return name.split("_", 1)[1]
+
+
+def test_rotation_policy_no_third_round_missed():
+    """EXECUTABLE rotation policy (round-7, VERDICT r6 item 4): parse the
+    CORRECTNESS_r*.json key-set history; any registered, non-exempt query
+    absent from BOTH of the two most recent driver artifacts must sit in
+    the current first-50 window (so the upcoming driver run checks it) —
+    otherwise it would go a third consecutive round without a driver
+    value-hash.  Exempt queries (ROTATION_EXEMPT) are one-expression
+    subsets whose expressions the driver checks inside a windowed superset;
+    the superset itself must be in the window."""
+    import glob
+    import json
+    import os
+    import re
+
+    from entity_extractor_linker_api_v2_spark.plans.queries import (
+        ROTATION_EXEMPT)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if m:
+            with open(f) as fh:
+                arts[int(m.group(1))] = {_suffix(k) for k in json.load(fh)}
+    if len(arts) < 2:
+        pytest.skip("need two driver artifacts to evaluate rotation debt")
+    last_two = sorted(arts)[-2:]
+    recently_checked = arts[last_two[0]] | arts[last_two[1]]
+    ever_checked = set().union(*arts.values())
+    window = {_suffix(k) for k in list(QUERIES)[:50]}
+
+    overdue = [k for k in QUERIES
+               if k not in ROTATION_EXEMPT
+               and _suffix(k) not in recently_checked
+               and _suffix(k) in ever_checked  # new queries carry no debt
+               and _suffix(k) not in window]
+    assert not overdue, (
+        f"rotation debt: {overdue} missed rounds r{last_two[0]} and "
+        f"r{last_two[1]} and are not in the current driver window — swap "
+        f"each in against a dual-covered row (plans/queries.py policy)")
+
+    # the exemptions are only sound while their supersets are themselves
+    # driver-checked, and every exempt name must still be registered
+    assert set(ROTATION_EXEMPT) <= set(QUERIES)
+    not_windowed = {sup for sup in ROTATION_EXEMPT.values()
+                    if _suffix(sup) not in window}
+    assert not not_windowed, (
+        f"ROTATION_EXEMPT supersets outside the window: {not_windowed}")
 
 
 def test_linked_stats_is_strict_subset_of_envelope(spark):
