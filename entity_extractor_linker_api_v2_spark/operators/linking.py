@@ -163,25 +163,91 @@ def pick_best(candidates: DataFrame) -> DataFrame:
             .withColumnRenamed("probe_lang", "hit_lang"))
 
 
+def hot_join_keys(mentions: DataFrame, key: list[str],
+                  hot_share: float = 0.01,
+                  max_hot_keys: int = 64) -> list[tuple]:
+    """Frequency-sketch the join keys and return the HOT ones (share of the
+    fact table ≥ ``hot_share``), heaviest first.
+
+    Cost at 100 TB: ONE column-pruned pass over the fact table's key
+    columns with map-side combine — the shuffle carries at most
+    |distinct keys| × |map partitions| partial rows, never the facts.  The
+    collect is bounded by construction: at most ``1/hot_share`` keys can
+    exceed the share threshold (64 hot keys at the 1% default is already
+    impossible), so the driver holds a handful of tuples.  Production
+    callers that maintain table statistics can pass ``hot_keys`` straight
+    into ``join_back`` and skip this pass entirely."""
+    freq = (mentions.select(*key).groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("_cnt")).persist())
+    try:
+        total = freq.agg(F.sum("_cnt")).first()[0] or 0
+        rows = (freq.filter(F.col("_cnt") >= F.lit(float(hot_share) * total))
+                .orderBy(F.desc("_cnt")).limit(max_hot_keys).collect())
+    finally:
+        freq.unpersist()
+    return [tuple(r[c] for c in key) for r in rows]
+
+
 def join_back(mentions: DataFrame, resolved: DataFrame,
-              broadcast_resolved: bool = True, n_salt: int = 0) -> DataFrame:
+              broadcast_resolved: bool = True, n_salt: int = 0,
+              hot_keys: list[tuple] | None = None,
+              hot_share: float = 0.01, salt_all: bool = False) -> DataFrame:
     """Attach resolved pages to the mention fact table (left join on label).
 
     Default: broadcast the resolved side (distinct labels ≪ mentions).  When
-    it cannot broadcast at cluster scale, set n_salt>0: the mention side gets
-    a salt from hash(url) and the resolved side is exploded ×n_salt so a head
-    entity ("Berlin" in ~50% of pages) spreads over n_salt reducers instead
-    of one straggler.  AQE skew-join remains the backstop.
+    it cannot broadcast at cluster scale, set n_salt>1: HOT-KEY-ONLY salting
+    (SURVEY §4 custom-work item 1) — sketch the mention key frequencies
+    (``hot_join_keys``; skipped when the caller passes ``hot_keys``), then
+    salt ONLY keys above ``hot_share`` of the fact table so a head entity
+    ("Berlin" in ~50% of pages) spreads over n_salt reducers instead of one
+    straggler, while the long tail joins plain.
+
+    The split is a CONDITIONAL salt inside one join, not a union of two
+    joins: both sides gain a ``_salt`` column that is hash(url) % n_salt /
+    explode(0..n_salt-1) for hot keys and the constant 0 otherwise, and the
+    join key widens by that one int.  Same result as the
+    hot-union-tail shape, but the fact table is scanned ONCE (a union
+    re-reads it or forces a persist) and tail rows pay only a constant-zero
+    int — not a per-row hash — which is what made the round-6 all-keys salt
+    (``salt_all=True``, kept for measurement contrast) lose wall clock: it
+    exploded the dimension wholesale and hashed 100% of rows to fix 0.03%
+    of keys (SKEW_CHECK.json, BENCH.md).  With no hot key found the join is
+    plain.  AQE skew-join remains the first-line backstop; this path is for
+    skew past what AQE's partition-splitting handles (a single key bigger
+    than one executor's memory).
     """
+    import functools
+    import operator as op
+
     key = ["label", "link_lang"]
     if n_salt and n_salt > 1:
-        m = mentions.withColumn("_salt", F.pmod(F.hash("url"), F.lit(n_salt)))
-        r = resolved.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
-        out = m.join(r, key + ["_salt"], "left").drop("_salt")
-    else:
-        r = F.broadcast(resolved) if broadcast_resolved else resolved
-        out = mentions.join(r, key, "left")
-    return out
+        if salt_all:
+            m = mentions.withColumn(
+                "_salt", F.pmod(F.hash("url"), F.lit(n_salt)))
+            r = resolved.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+            return m.join(r, key + ["_salt"], "left").drop("_salt")
+        if hot_keys is None:
+            hot_keys = hot_join_keys(mentions, key, hot_share=hot_share)
+        if not hot_keys:
+            return mentions.join(resolved, key, "left")
+
+        def is_hot():
+            return functools.reduce(op.or_, [
+                functools.reduce(op.and_, [
+                    F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(key, k)])
+                for k in hot_keys])
+
+        m = mentions.withColumn(
+            "_salt", F.when(is_hot(), F.pmod(F.hash("url"), F.lit(n_salt)))
+                      .otherwise(F.lit(0)))
+        r = resolved.withColumn(
+            "_salt", F.explode(
+                F.when(is_hot(), F.sequence(F.lit(0), F.lit(n_salt - 1)))
+                 .otherwise(F.array(F.lit(0)))))
+        return m.join(r, key + ["_salt"], "left").drop("_salt")
+    r = F.broadcast(resolved) if broadcast_resolved else resolved
+    return mentions.join(r, key, "left")
 
 
 def to_entities(joined: DataFrame) -> DataFrame:

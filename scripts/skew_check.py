@@ -103,17 +103,29 @@ def main() -> None:
     resolved.count()
 
     variants = [
-        ("plain_smj", {"spark.sql.adaptive.skewJoin.enabled": "false"}, 0),
-        ("aqe_skew", {"spark.sql.adaptive.skewJoin.enabled": "true"}, 0),
-        ("salted_8", {"spark.sql.adaptive.skewJoin.enabled": "false"}, 8),
+        ("plain_smj", {"spark.sql.adaptive.skewJoin.enabled": "false"},
+         dict(n_salt=0)),
+        ("aqe_skew", {"spark.sql.adaptive.skewJoin.enabled": "true"},
+         dict(n_salt=0)),
+        # round-7: hot-key-only salt (SURVEY §4 design) is the default;
+        # the round-6 all-keys shape is kept for measured contrast
+        ("salted_hot_8", {"spark.sql.adaptive.skewJoin.enabled": "false"},
+         dict(n_salt=8)),
+        ("salted_all_8", {"spark.sql.adaptive.skewJoin.enabled": "false"},
+         dict(n_salt=8, salt_all=True)),
     ]
     results = {}
     counts = {}
-    for name, confs, n_salt in variants:
+    for name, confs, salt_kw in variants:
         for k, v in confs.items():
             spark.conf.set(k, v)
+        # plan construction is timed too: the hot-only variant's frequency
+        # sketch collects inside join_back, a real once-per-job cost that
+        # must not hide outside the walls below
+        t_b = time.perf_counter()
         joined = linking.join_back(ments, resolved,
-                                   broadcast_resolved=False, n_salt=n_salt)
+                                   broadcast_resolved=False, **salt_kw)
+        build_sec = round(time.perf_counter() - t_b, 3)
         best, quant = None, {}
         for _ in range(args.repeats):
             last_stage = max((s["stageId"] for s in _ui(
@@ -126,7 +138,8 @@ def main() -> None:
                 best = el
                 quant = task_quantiles(spark, last_stage)
         counts[name] = joined.count()
-        results[name] = {"wall_sec": round(best, 3), **quant}
+        results[name] = {"wall_sec": round(best, 3),
+                         "plan_build_sec": build_sec, **quant}
         print(json.dumps({name: results[name]}), flush=True)
 
     assert len(set(counts.values())) == 1, f"variant row counts differ: {counts}"
