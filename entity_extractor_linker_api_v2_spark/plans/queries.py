@@ -63,6 +63,14 @@ import weakref
 
 _ENTITY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _MAX_SESSIONS = 4
+# Per-session cap on cached corpora (round 7): within ONE session each
+# sf_dir pins TWO persisted relations (mentions + entities) — at sf1.0
+# that's tens of GB per corpus, so a driver cycling corpora through one
+# session must evict, not accumulate.  Oldest-inserted corpus is evicted
+# and BOTH its frames unpersisted once a session tracks more than this
+# many dirs (tests/test_pipeline_spark.py::test_entity_cache_evicts_dirs;
+# measured at scale by scripts/cache_evict_check.py).
+_MAX_DIRS_PER_SESSION = 3
 
 
 # Cache observability: _entities() itself records one event per call (True =
@@ -79,23 +87,33 @@ def drain_entity_cache_events() -> list[bool]:
     return events
 
 
+def _unpersist_entry(entry) -> None:
+    for df in entry:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # stopped context: its cached blocks are already gone
+
+
 def _entities(spark, sf_dir):
     _CACHE_EVENTS.append(sf_dir in _ENTITY_CACHE.get(spark, {}))
     if spark not in _ENTITY_CACHE and len(_ENTITY_CACHE) >= _MAX_SESSIONS:
         oldest = next(iter(_ENTITY_CACHE))
-        for df in _ENTITY_CACHE.pop(oldest, {}).values():
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # stopped context: its cached blocks are already gone
+        for entry in _ENTITY_CACHE.pop(oldest, {}).values():
+            _unpersist_entry(entry)
     per = _ENTITY_CACHE.setdefault(spark, {})
     if sf_dir not in per:
+        if len(per) >= _MAX_DIRS_PER_SESSION:
+            oldest_dir = next(iter(per))
+            _unpersist_entry(per.pop(oldest_dir))
         # persist the mention table: it feeds both the probe-key distinct
         # and the join-back (avoids re-running the pandas-UDF extraction
-        # chain twice); persist the entity table for the nine consumers
-        per[sf_dir] = linking.link_mentions(
-            spark, _capped_fused(spark, sf_dir).persist()).persist()
-    return per[sf_dir]
+        # chain twice); persist the entity table for the nine consumers.
+        # BOTH frames are tracked so eviction frees both (pre-round-7 the
+        # mention persist was anonymous and survived eviction).
+        ments = _capped_fused(spark, sf_dir).persist()
+        per[sf_dir] = (linking.link_mentions(spark, ments).persist(), ments)
+    return per[sf_dir][0]
 
 
 def entity_cache_populated(spark, sf_dir: str) -> bool:

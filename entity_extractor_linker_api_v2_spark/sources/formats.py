@@ -65,7 +65,18 @@ def _split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     A record is quarantined if the parser flagged it OR if every parsed
     column came back null (CSV permissive mode can produce all-null rows
-    for garbage lines without setting the corrupt column)."""
+    for garbage lines without setting the corrupt column).
+
+    Audit-fidelity limitation (documented, by design): when the parser DID
+    flag the record, `raw` is the original input text verbatim; for the
+    CSV all-null shape the corrupt column is null, so `raw` degrades to
+    the JSON of an all-null struct ('{}') — the original bytes are not
+    recoverable from the parsed frame, and re-reading the file as text to
+    recover them is not well-defined under multiLine (a logical record
+    spans physical lines).  Counts stay exact either way; when byte-level
+    audit of every bad record matters, ship JSONL (its corrupt column
+    always carries the raw line) or newline-free CSV with
+    multi_line=False."""
     all_null = F.lit(True)
     for c in _COLS:
         all_null = all_null & F.col(c).isNull()
@@ -96,7 +107,14 @@ def read_documents_csv(spark: SparkSession, path: str, header: bool = True,
     multi_line=True (default) parses RFC 4180 quoted fields with literal
     embedded newlines — correct for arbitrary text, but one task per file
     (see module doc); False restores split parallelism for exports whose
-    text is known newline-free."""
+    text is known newline-free.
+
+    Scan-parallelism guard (round 7): a multiLine read of FEWER FILES THAN
+    CORES is a silently serialized scan (one huge CSV = one task at any
+    cluster size), so the reader warns and repartitions the good rows to
+    defaultParallelism — one bounded shuffle that un-serializes everything
+    downstream (the scan itself cannot be parallelized post hoc; re-shard
+    the export or ship JSONL to fix the scan)."""
     parsed = (spark.read
               .schema(_SCHEMA_WITH_CORRUPT)
               .option("mode", "PERMISSIVE")
@@ -107,7 +125,22 @@ def read_documents_csv(spark: SparkSession, path: str, header: bool = True,
               .option("multiLine", "true" if multi_line else "false")
               .option("escape", '"')
               .csv(path))
-    return _split(parsed)
+    good, quarantine = _split(parsed)
+    if multi_line:
+        n_files = len(parsed.inputFiles())
+        cores = spark.sparkContext.defaultParallelism
+        if 0 < n_files < cores:
+            import warnings
+            warnings.warn(
+                f"multiLine CSV scan of {path!r} has {n_files} file(s) for "
+                f"{cores} cores — multiLine files are not splittable, so "
+                f"the scan serializes to {n_files} task(s); repartitioning "
+                f"parsed rows to {cores} for downstream parallelism. Ship "
+                f"many moderate files, multi_line=False, or JSONL to "
+                f"parallelize the scan itself.",
+                stacklevel=2)
+            good = good.repartition(cores)
+    return good, quarantine
 
 
 def write_documents_jsonl(df: DataFrame, path: str) -> None:

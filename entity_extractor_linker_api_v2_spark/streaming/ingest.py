@@ -219,10 +219,13 @@ def _local_partition_ids(path: str) -> list[int]:
         return []
 
 
-def read_components(spark: SparkSession, state_dir: str,
-                    exclude_batch: int | None = None) -> DataFrame:
-    """Current (node, comp) view of a ``canonicalize_stream`` state dir:
-    latest-batch-wins over the append-only delta partitions.
+def read_components_raw(spark: SparkSession, state_dir: str,
+                        exclude_batch: int | None = None) -> DataFrame:
+    """LAZY (node, comp, batch_id) scan of a ``canonicalize_stream`` state
+    dir's append-only delta partitions — no latest-wins aggregation, no
+    materialization.  The fold prunes this scan down to the affected
+    components BEFORE any aggregation (``affected_components_state``), so
+    per-batch cost tracks the batch, not the state.
 
     `exclude_batch` is the fold's replay guard: a fold reads the state AS OF
     the batch before its own, so a replayed batch recomputes the IDENTICAL
@@ -233,11 +236,65 @@ def read_components(spark: SparkSession, state_dir: str,
         raw = spark.read.option("basePath", f"{state_dir}/comps") \
             .parquet(f"{state_dir}/comps")
     except AnalysisException:
-        return spark.createDataFrame([], "node string, comp string")
+        return spark.createDataFrame(
+            [], "node string, comp string, batch_id long")
     if exclude_batch is not None:
         raw = raw.filter(F.col("batch_id") != exclude_batch)
-    return (raw.groupBy("node")
+    return raw
+
+
+def read_components(spark: SparkSession, state_dir: str,
+                    exclude_batch: int | None = None) -> DataFrame:
+    """Current (node, comp) view of a ``canonicalize_stream`` state dir:
+    latest-batch-wins over the append-only delta partitions.  FULL-state
+    aggregation — the external read surface and the compaction input; the
+    per-batch fold path uses ``affected_components_state`` instead."""
+    return (read_components_raw(spark, state_dir, exclude_batch)
+            .groupBy("node")
             .agg(F.max_by("comp", "batch_id").alias("comp")))
+
+
+def affected_components_state(raw: DataFrame, batch_nodes: DataFrame,
+                              hint_broadcast: bool = True) -> DataFrame:
+    """Current (node, comp) rows of ONLY the components containing a batch
+    node, computed against the RAW delta scan — the streaming analog of
+    ``canonicalize.affected_members`` that additionally pushes the pruning
+    BELOW the latest-wins aggregation.
+
+    Through round 6 the fold materialized the full latest-wins view every
+    micro-batch (read_components().localCheckpoint()) — an O(state)
+    shuffle + materialization per batch that the round-7 state-axis
+    measurement (scripts/state_scale_check.py) would have shown growing
+    linearly with state size.  This shape replaces it with three
+    column-pruned scans of the delta partitions, each semi-join-filtered
+    before any groupBy, so the only aggregated/materialized rows are the
+    affected components':
+
+      1. latest comp of each BATCH node (a node's latest row only needs
+         that node's own rows, so the node semi-join loses nothing),
+      2. candidate nodes that EVER carried one of those comps (a superset
+         of current members — a node may have moved to another comp in a
+         later delta),
+      3. latest-wins over the candidates only, keeping rows still IN a
+         touched comp.
+
+    At cluster scale the scans stay shuffle-free on the state side (the
+    probes broadcast in the micro-batch regime; a fat catch-up batch passes
+    hint_broadcast=False and AQE chooses)."""
+    maybe = F.broadcast if hint_broadcast else (lambda df: df)
+    touched = (raw.join(maybe(batch_nodes), "node", "left_semi")
+               .groupBy("node")
+               .agg(F.max_by("comp", "batch_id").alias("comp"))
+               .select("comp").distinct())
+    # cand is bounded by affected-COMPONENT size, not batch size — a batch
+    # touching a hub component makes it big, so it is never force-broadcast
+    # (AQE picks one when it fits)
+    cand = (raw.join(maybe(touched), "comp", "left_semi")
+            .select("node").distinct())
+    return (raw.join(cand, "node", "left_semi")
+            .groupBy("node")
+            .agg(F.max_by("comp", "batch_id").alias("comp"))
+            .join(maybe(touched), "comp", "left_semi"))
 
 
 def canonicalize_stream(spark: SparkSession, docs_dir: str, state_dir: str,
@@ -249,12 +306,16 @@ def canonicalize_stream(spark: SparkSession, docs_dir: str, state_dir: str,
     same-as/alias edges, and ``merge_components`` folds them into the
     persisted (node, comp) state.
 
-    Per-batch cost: the current state is read through ONE latest-wins
-    aggregation pass (map-side-combinable, materialized once per batch);
-    everything downstream probes that materialization with broadcast
-    semi-joins, and the CC rounds iterate only over the components the
-    batch's edges actually touch (affected-member pruning,
-    ``merge_components_delta``) — never the full node set.  The WRITE is
+    Per-batch cost: the state is scanned RAW (delta partitions, no
+    aggregation) and pruned to the affected components with broadcast
+    semi-joins BEFORE the latest-wins aggregation runs
+    (``affected_components_state``) — so the only rows ever aggregated or
+    materialized per batch are the affected components', and the CC rounds
+    iterate only over the components the batch's edges actually touch
+    (affected-member pruning, ``merge_components_delta``) — never the full
+    node set.  (Through round 6 the fold materialized the FULL latest-wins
+    view each batch; scripts/state_scale_check.py measures the difference
+    on the state axis.)  The WRITE is
     only the DELTA (new nodes + nodes whose component changed), landing in
     its own batch_id partition — not a full-state rewrite.  Every
     `compact_every` batches the fold writes a full snapshot partition and
@@ -290,12 +351,24 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
 
     from ..operators.canonicalize import merge_components_delta
 
+    from ..operators.canonicalize import DELTA_BROADCAST_MAX_NODES
+
     comps_dir, commits_dir = f"{state_dir}/comps", f"{state_dir}/commits"
     if _is_committed(s, commits_dir, batch_id):
         return
     # exclude this batch's own partition: a replay after a crash mid-write
     # must see the state AS OF the previous batch, recomputing the same delta
-    old = read_components(s, state_dir, exclude_batch=batch_id).localCheckpoint()
+    raw = read_components_raw(s, state_dir, exclude_batch=batch_id)
+    batch_nodes = (edges.select(F.col("a").alias("node"))
+                   .unionByName(edges.select(F.col("b").alias("node")))
+                   .distinct().localCheckpoint())
+    hint = batch_nodes.count() <= DELTA_BROADCAST_MAX_NODES
+    # ONLY the affected components' current rows are aggregated and
+    # materialized — through round 6 this was the FULL latest-wins view,
+    # an O(state) shuffle+checkpoint per micro-batch (state-axis evidence:
+    # scripts/state_scale_check.py, STATE_SCALE.json)
+    old = affected_components_state(raw, batch_nodes,
+                                    hint_broadcast=hint).localCheckpoint()
     # delta form: CC iterations run only over the components the batch's
     # edges touch (affected-member pruning in merge_components_delta) — the
     # write below IS the delta, no full-view diff join needed
@@ -307,9 +380,14 @@ def canonicalize_fold(s: SparkSession, edges: DataFrame, batch_id: int,
         # a committed no-op and latest-batch-wins shadows any leftover delta
         # dirs until a later compaction sweeps them
         # delta size is bounded by the affected-component sizes, not the
-        # batch — no forced broadcast (AQE still picks one when it fits)
+        # batch — no forced broadcast (AQE still picks one when it fits).
+        # Compaction is the one place that genuinely reads the FULL
+        # latest-wins state (it writes the full snapshot) — O(state) but
+        # amortized 1/compact_every; the per-batch path above only ever
+        # aggregates the affected slice.
+        full = read_components(s, state_dir, exclude_batch=batch_id)
         merged = delta.unionByName(
-            old.join(delta.select("node"), "node", "left_anti"))
+            full.join(delta.select("node"), "node", "left_anti"))
         merged.write.mode("overwrite").parquet(f"{comps_dir}/batch_id={batch_id}")
         _mark_committed(s, commits_dir, batch_id)
         for old_id in done:

@@ -116,6 +116,44 @@ def test_join_back_no_hot_keys_joins_plain(spark):
     assert {tuple(r) for r in out.collect()} == want
 
 
+def test_entity_cache_evicts_dirs(spark, tmp_path):
+    """The session entity cache must EVICT under corpus churn, not
+    accumulate persisted lineage: beyond _MAX_DIRS_PER_SESSION corpora in
+    one session, the oldest corpus's BOTH pinned frames (entities +
+    mentions) are unpersisted and a re-request is a rebuild (miss event).
+    Round-7 guard for the 10x-scale regime where each cached corpus pins
+    tens of GB (measured variant: scripts/cache_evict_check.py)."""
+    import os
+
+    from entity_extractor_linker_api_v2_spark.plans import queries as Q
+
+    dirs, first_entry = [], None
+    for tag in "abcd":  # one more than the cap of 3
+        p = tmp_path / f"corpus_{tag}"
+        os.symlink(SF_SMALL, p)  # distinct cache keys onto the same data
+        dirs.append(str(p))
+    try:
+        for i, d in enumerate(dirs):
+            Q._entities(spark, d).count()  # materialize the persists
+            if i == 0:
+                first_entry = Q._ENTITY_CACHE[spark][d]
+        per = Q._ENTITY_CACHE[spark]
+        assert len(per) == Q._MAX_DIRS_PER_SESSION
+        assert dirs[0] not in per and dirs[-1] in per
+        ent0, ments0 = first_entry
+        assert not ent0.is_cached and not ments0.is_cached, \
+            "evicted corpus left pinned frames behind"
+        assert per[dirs[-1]][0].is_cached  # survivors stay pinned
+        Q.drain_entity_cache_events()
+        Q._entities(spark, dirs[0])  # evicted -> rebuild, recorded as miss
+        assert Q.drain_entity_cache_events() == [False]
+    finally:
+        per = Q._ENTITY_CACHE.get(spark, {})
+        for d in dirs:
+            if d in per:
+                Q._unpersist_entry(per.pop(d))
+
+
 def test_mention_cap(spark):
     """Per-url cap keeps first max_entities mentions in text order."""
     from entity_extractor_linker_api_v2_spark.operators import mentions as M

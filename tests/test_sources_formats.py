@@ -49,6 +49,30 @@ def test_csv_roundtrip_matches_parquet(spark, canon, tmp_path_factory):
     assert quarantine.count() == 0
 
 
+def test_csv_multiline_scan_parallelism_guard(spark, canon,
+                                              tmp_path_factory):
+    """A single multiLine CSV file is one scan task at ANY cluster size —
+    the reader must warn and repartition the good rows to core count so
+    downstream operators don't inherit the serialized layout (round 7)."""
+    import warnings
+
+    p = str(tmp_path_factory.mktemp("csv_one") / "docs")
+    formats.write_documents_csv(canon.coalesce(1), p)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        good, _ = formats.read_documents_csv(spark, p)
+    hits = [w for w in caught if "not splittable" in str(w.message)]
+    assert hits, "single-file multiLine read must emit the guard warning"
+    assert good.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert _rows(good) == _rows(canon)
+
+    # the splittable single-line mode must NOT warn or repartition
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        formats.read_documents_csv(spark, p, multi_line=False)
+    assert not [w for w in caught if "not splittable" in str(w.message)]
+
+
 def test_csv_single_line_mode_on_newline_free_export(spark, canon,
                                                      tmp_path_factory):
     """multi_line=False (the splittable fast path) is exact on exports
