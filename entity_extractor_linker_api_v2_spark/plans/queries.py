@@ -952,7 +952,7 @@ QUERIES = {
 # rotation slot.  The lint test asserts every superset named here is itself
 # inside the driver window.
 ROTATION_EXEMPT = {
-    "q59_nodes": "q11_entities",            # node projection of entities
+    "q59_nodes": "q12_triples",  # node projection of the triple build
     "q60_top10_categories": "q16_top10_all",  # one of q16's eight keys
     "q61_split_text_char": "q38_split_sentences",  # O-38 char mode
     "q62_topic_extract": "q47_compendium",  # O-43 runs inside q47

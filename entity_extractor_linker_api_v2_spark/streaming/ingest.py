@@ -281,17 +281,28 @@ def affected_components_state(raw: DataFrame, batch_nodes: DataFrame,
     At cluster scale the scans stay shuffle-free on the state side (the
     probes broadcast in the micro-batch regime; a fat catch-up batch passes
     hint_broadcast=False and AQE chooses)."""
+    from ..operators.canonicalize import DELTA_BROADCAST_MAX_NODES
+
     maybe = F.broadcast if hint_broadcast else (lambda df: df)
+    # touched and cand are each consumed twice — materialize them so their
+    # lineage (which scans the state) never re-executes per consumer; the
+    # three state scans below are the fold's total
     touched = (raw.join(maybe(batch_nodes), "node", "left_semi")
                .groupBy("node")
                .agg(F.max_by("comp", "batch_id").alias("comp"))
-               .select("comp").distinct())
-    # cand is bounded by affected-COMPONENT size, not batch size — a batch
-    # touching a hub component makes it big, so it is never force-broadcast
-    # (AQE picks one when it fits)
+               .select("comp").distinct().localCheckpoint())
     cand = (raw.join(maybe(touched), "comp", "left_semi")
-            .select("node").distinct())
-    return (raw.join(cand, "node", "left_semi")
+            .select("node").distinct().localCheckpoint())
+    # cand is bounded by affected-COMPONENT size, not batch size — a batch
+    # touching a hub component makes it big.  It is already materialized,
+    # so sizing it is one cheap count: small cand is FORCE-broadcast (the
+    # final probe then never shuffles the state — a static SMJ here would
+    # Exchange the whole state and only AQE's runtime rescue would demote
+    # it); a hub-sized cand falls back to a shuffle join, which is then
+    # genuinely the right plan.
+    probe = cand if cand.count() > DELTA_BROADCAST_MAX_NODES \
+        else F.broadcast(cand)
+    return (raw.join(probe, "node", "left_semi")
             .groupBy("node")
             .agg(F.max_by("comp", "batch_id").alias("comp"))
             .join(maybe(touched), "comp", "left_semi"))
