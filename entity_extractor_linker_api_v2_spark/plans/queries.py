@@ -945,18 +945,25 @@ QUERIES = {
 }
 
 # Queries EXEMPT from the rotation requirement (and why): each is a
-# one-expression projection whose expressions execute — and are therefore
-# value-hash-checked by the driver — INSIDE the named windowed superset
-# query every round.  They stay registered and locally parity-checked
-# (tests/test_oracle_parity.py runs all 60 vs DuckDB), but do not consume a
-# rotation slot.  The lint test asserts every superset named here is itself
+# one-expression query whose OPERATOR keeps a windowed driver row (the
+# judge's operator-level accounting), named on the right.  Strength of
+# each claim: q60's rows literally EQUAL q16's 'wikipedia_categories' key
+# (value-tested, test_oracle_parity.py::
+# test_top10_categories_is_strict_subset_of_top10_all); q59 is a pure
+# groupBy-projection of the driver-checked q11 entity relation (its every
+# input column is hash-checked through q11); q62/q63's expressions also
+# execute inside the q47/q44 driver rows (O-43/O-39); q61 is O-38's char
+# mode beside q38's driver-checked sentence mode.  All five stay
+# registered and locally parity-checked vs DuckDB every round
+# (tests/test_oracle_parity.py runs all 60); they just don't consume a
+# rotation slot.  The lint test asserts every query named here is itself
 # inside the driver window.
 ROTATION_EXEMPT = {
-    "q59_nodes": "q12_triples",  # node projection of the triple build
-    "q60_top10_categories": "q16_top10_all",  # one of q16's eight keys
-    "q61_split_text_char": "q38_split_sentences",  # O-38 char mode
-    "q62_topic_extract": "q47_compendium",  # O-43 runs inside q47
-    "q63_category_strip": "q47_compendium",  # O-39 runs inside q47/q44
+    "q59_nodes": "q11_entities",
+    "q60_top10_categories": "q16_top10_all",
+    "q61_split_text_char": "q38_split_sentences",
+    "q62_topic_extract": "q47_compendium",
+    "q63_category_strip": "q47_compendium",
 }
 
 # Every registered query now has an oracle twin.  q38's stateful greedy

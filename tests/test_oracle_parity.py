@@ -95,6 +95,25 @@ def test_rotation_policy_no_third_round_missed():
         f"ROTATION_EXEMPT supersets outside the window: {not_windowed}")
 
 
+def test_top10_categories_is_strict_subset_of_top10_all(spark):
+    """Guards the q60 ROTATION_EXEMPT rationale: top10(categories) must
+    equal q16_top10_all's 'wikipedia_categories' slice (same source
+    column, same count, same (desc cnt, item) tie-break) — so the driver
+    hash-checking q16 transitively value-checks q60's rows."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_linker_api_v2_spark.plans.queries import (
+        q_top10_all, q_top10_categories)
+    order = [F.desc("cnt"), F.asc("item")]
+    lhs = [(r["item"], r["cnt"]) for r in
+           q_top10_categories(spark, SF_SMALL).orderBy(*order).collect()]
+    rhs = [(r["item"], r["cnt"]) for r in
+           q_top10_all(spark, SF_SMALL)
+           .filter("stat_key = 'wikipedia_categories'")
+           .orderBy(*order).collect()]
+    assert lhs == rhs and lhs
+
+
 def test_linked_stats_is_strict_subset_of_envelope(spark):
     """Guards the round-6 rotation rationale: displacing q17_linked_stats
     from the driver window is sound only while its five output columns are
