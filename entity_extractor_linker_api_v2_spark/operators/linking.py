@@ -267,14 +267,19 @@ def to_entities(joined: DataFrame) -> DataFrame:
                       F.concat(F.lit(f"https://{lang}.wikipedia.org/wiki/"),
                                F.regexp_replace(title, " ", "_"))).otherwise(F.lit(""))
 
+    # two withColumns batches, not six withColumn calls: each withColumn is
+    # a full analysis pass + py4j round-trip of pure plan-build time (the
+    # second batch depends on probe_lang2, so it cannot fold into the first)
     d = (joined
          .withColumn("probe_lang2",
                      F.when(found, F.col("hit_lang")).otherwise(F.lit(None)))
-         .withColumn("label_de0", F.coalesce(title_de, F.lit("")))
-         .withColumn("label_en", F.coalesce(title_en, F.lit("")))
-         .withColumn("url_de0", wiki_url_col(title_de, "de"))
-         .withColumn("url_en0", wiki_url_col(title_en, "en"))
-         .withColumn("wiki_status0", F.when(found, F.lit("found")).otherwise(F.lit("not_found"))))
+         .withColumns({
+             "label_de0": F.coalesce(title_de, F.lit("")),
+             "label_en": F.coalesce(title_en, F.lit("")),
+             "url_de0": wiki_url_col(title_de, "de"),
+             "url_en0": wiki_url_col(title_en, "en"),
+             "wiki_status0": F.when(found, F.lit("found"))
+                              .otherwise(F.lit("not_found"))}))
 
     label_de = F.when(F.col("label_de0") == "", F.col("label")).otherwise(F.col("label_de0"))
     gen_url_de = F.concat(F.lit("https://de.wikipedia.org/wiki/"), F.regexp_replace(label_de, " ", "_"))

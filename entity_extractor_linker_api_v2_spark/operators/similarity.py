@@ -81,12 +81,35 @@ def _norm(vec_col):
                               lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+# SQL-string twins of _dot/_norm for NAMED columns (round 8): building the
+# 64-literal array + two lambda trees through the Python Column API costs
+# ~70 py4j round-trips per call (measured ~0.7 s of pure plan-build time in
+# q50, paid inside the bench timer); one F.expr parse builds the identical
+# expression tree JVM-side.  `{x!r}D` literals round-trip doubles exactly
+# (repr is shortest-exact, the D suffix forces DoubleType — a bare decimal
+# would parse as DECIMAL), and the fold order matches _dot's left fold, so
+# results are bit-identical (oracle-hash-checked via q28/q29/q30/q50).
+
+
+def _dot_sql(col: str, const: list[float]):
+    arr = ",".join(f"{float(x)!r}D" for x in const)
+    return F.expr(
+        f"aggregate(zip_with({col}, array({arr}), "
+        f"(a, b) -> cast(a as double) * b), 0.0D, (acc, x) -> acc + x)")
+
+
+def _norm_sql(col: str):
+    return F.expr(
+        f"sqrt(aggregate({col}, 0.0D, "
+        f"(acc, x) -> acc + cast(x as double) * cast(x as double)))")
+
+
 def brute_force_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     import math
     q = query_vector()
     qn = math.sqrt(sum(x * x for x in q))
-    score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    score = _dot_sql(vec_col, q) / (_norm_sql(vec_col) * F.lit(qn))
     return (df.select(F.col(id_col), score.alias("_s"))
             .orderBy(F.desc("_s"), id_col).limit(k)
             .select(id_col, F.round("_s", 3).alias("cosine")))
@@ -105,7 +128,7 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
     # family — the legacy family has only 6 distinct members (period 7)
     planes = ([hyperplane(j) for j in range(min(n_planes, N_PLANES))]
               + [extended_plane(j) for j in range(N_PLANES, n_planes)])
-    bits = [F.when(F.round(_dot(F.col(vec_col), p), 6) >= 0, F.lit("1"))
+    bits = [F.when(F.round(_dot_sql(vec_col, p), 6) >= 0, F.lit("1"))
             .otherwise(F.lit("0")) for p in planes]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
@@ -221,24 +244,41 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
     qn = math.sqrt(sum(x * x for x in q))
     cents = centroids if centroids is not None \
         else default_centroids(df, id_col, vec_col)
-    best_c = (cents.withColumn("_qd", _dot(F.col("cvec"), q))
-              .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
-              .select("centroid_id"))
-    score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    score = _dot_sql(vec_col, q) / (_norm_sql(vec_col) * F.lit(qn))
     if index is not None:
         # prebuilt (materialized/bucketed) index: probe-list broadcast join.
         # Project the index to (id, centroid_id) first — a save_ivf_index
         # table also carries the vector column, which would make the score's
         # embedding reference ambiguous after the join
+        best_c = (cents.withColumn("_qd", _dot(F.col("cvec"), q))
+                  .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
+                  .select("centroid_id"))
         probed = (df.join(index.select(id_col, "centroid_id"), id_col)
                   .join(F.broadcast(best_c), "centroid_id"))
     else:
-        # inline path: assignment is a map-side literal-centroid argmax, so
-        # the probe filter is Project + broadcast join — the corpus is
-        # never shuffled (the old shape joined an n-row assign relation)
-        _, cid = _argmin_centroid(vec_col, _collect_centroids(cents), _neg_dot_lit)
+        # inline path: assignment is a map-side literal-centroid argmax and
+        # the probe list is ranked ON THE DRIVER from the ≤K centroids that
+        # are already collected for the argmin literals (round 8) — the
+        # Python left fold `acc += cv[i]*q[i]` is the identical IEEE-double
+        # sequence to _dot's aggregate, and the (−dot, centroid_id) sort
+        # matches the old orderBy(desc _qd, centroid_id) tie-break, so the
+        # probed set is bit-identical while the plan loses the ranking
+        # subquery AND the broadcast join: Scan → Project → Filter →
+        # TakeOrderedAndProject, zero Join (the shape ivf_topk_indexed
+        # already established with its driver-collected probe ids).
+        clist = _collect_centroids(cents)
+
+        def _pydot(cv):
+            acc = 0.0
+            for a, b in zip(cv, q):
+                acc += float(a) * b
+            return acc
+
+        probe_ids = [cid0 for _, cid0 in sorted(
+            ((-_pydot(cv), cid0) for cid0, cv in clist))][:nprobe]
+        _, cid = _argmin_centroid(vec_col, clist, _neg_dot_lit)
         probed = (df.withColumn("centroid_id", cid)
-                  .join(F.broadcast(best_c), "centroid_id"))
+                  .filter(F.col("centroid_id").isin(probe_ids)))
     return (probed
             .select(F.col(id_col), score.alias("_s"))
             .orderBy(F.desc("_s"), id_col).limit(k)
@@ -473,7 +513,7 @@ def neardup_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
         bits = derived_bits(_approx_n(df, id_col))
 
     def bucket_str(t):
-        bs = [F.when(F.round(_dot(F.col(vec_col), p), 6) >= 0,
+        bs = [F.when(F.round(_dot_sql(vec_col, p), 6) >= 0,
                      F.lit("1")).otherwise(F.lit("0"))
               for p in _table_planes(t, bits)]
         return F.concat(*bs)
@@ -502,9 +542,9 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
     cands = neardup_candidate_pairs(df, id_col, vec_col, n_tables, bits, bucket_cap)
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (_norm(F.col("va")) * _norm(F.col("vb")))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * "
+                 "cast(y as double)), 0.0D, (acc, x) -> acc + x)")
+    cos = dot / (_norm_sql("va") * _norm_sql("vb"))
     return (cands.join(va, "a").join(vb, "b")
             .withColumn("cosine", F.round(cos, 3))
             .filter(F.col("cosine") >= threshold)

@@ -150,7 +150,16 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _raw_mentions(spark, sf_dir).select("url", "surface", "label", "type", "pos")
+    """O-8 on the fused one-stage path (round 8): ONE mapInPandas does
+    html→text→mentions, halving the JVM↔Python crossings of the old
+    two-UDF chain (guide §4.1 — pass the batch through Python once).  Rows
+    are identical to extract ∘ detect ∘ explode (the _raw_mentions
+    formulation, still exercised by q05+ and the fused-equivalence test);
+    the oracle is unchanged."""
+    from ..operators.extract import extract_and_detect
+    docs = tables.docs_table(spark, sf_dir)
+    return extract_and_detect(docs, dedup=False) \
+        .select("url", "surface", "label", "type", "pos")
 
 
 # Unicode word-boundary emulation (see q_mentions_regex): the text is first
@@ -354,14 +363,23 @@ def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_corpus(spark, sf_dir):
     """documents + deterministic exact/near duplicates (mirrored by the
-    oracle's `dd` CTE) so dedup operators have real work."""
+    oracle's `dd` CTE) so dedup operators have real work.
+
+    The union is built from the PLAIN scan and repartitioned ONCE at the
+    end (scan-parallelism floor, sources.tables.scan_parallel rationale):
+    a sub-split-sized input otherwise serializes the md5-heavy
+    minhash/simhash chains onto 3 tasks; repartitioning each branch instead
+    would pay three exchanges for the same spread."""
     d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
     exact = (d.filter(F.col("doc_id") % 10 == 0)
              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     near = (d.filter(F.col("doc_id") % 7 == 0)
             .select((F.col("doc_id") + 200000).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(" zusatz anhang")).alias("text")))
-    return d.unionByName(exact).unionByName(near)
+    out = d.unionByName(exact).unionByName(near)
+    if tables.small_input(sf_dir, "documents"):
+        out = out.repartition(spark.sparkContext.defaultParallelism)
+    return out
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,14 @@ def clean_text(text: str) -> str:
     if not text:
         return text
     if text.translate(_TNR_TO_SPACE).isprintable():
-        return _WS_RUN.sub(" ", text).strip()
+        # " ".join(split()) ≡ _WS_RUN.sub(" ", text).strip() here: on the
+        # printable path the only whitespace chars are {space,\t,\n,\r}
+        # (every other char in re's \s — which equals str.isspace()'s set,
+        # verified over the BMP — is non-printable), and both formulations
+        # collapse runs of exactly those chars and drop leading/trailing
+        # runs.  split/join runs at C speed; the regex sub was the dominant
+        # cost of the pipeline's text-extraction stage.
+        return " ".join(text.split())
     kept = [c if (c.isprintable() or c in "\t\n\r") else " " for c in text]
     return _WS_RUN.sub(" ", "".join(kept)).strip()
 
@@ -381,18 +388,29 @@ def extract_text(html: bytes | None) -> str:
 
 
 def clean_text_series(texts):
-    """Vectorized clean_text over a pandas Series — C-level regex for rows
+    """Vectorized clean_text over a pandas Series — C-level scans for rows
     provably on the fast path (no suspect chars), the exact per-row function
-    for the rest.  Output is byte-identical to clean_text row-wise."""
+    for the rest.  Output is byte-identical to clean_text row-wise.
+
+    Collapse detection is four C-level substring scans (the regex
+    alternation `[\\t\\n\\r]|  ` cost ~9x more on KB-sized rows), and the
+    collapse itself is ' '.join(split()) — exact on non-suspect rows, whose
+    whitespace is ⊆ {space,\\t,\\n,\\r} by the suspect definition (see
+    clean_text's fast-path note)."""
     texts = texts.fillna("")
     suspect = texts.str.contains(_SUSPECT_RE, regex=True)
     # collapse is only needed when a whitespace RUN can exist (tab/newline/
     # carriage-return or a double space); everything else just strips.
-    needs_collapse = texts.str.contains(r"[\t\n\r]|  ", regex=True) & ~suspect
+    needs_collapse = (texts.str.contains("  ", regex=False)
+                      | texts.str.contains("\t", regex=False)
+                      | texts.str.contains("\n", regex=False)
+                      | texts.str.contains("\r", regex=False)) & ~suspect
     out = texts.str.strip()
     if needs_collapse.any():
-        out[needs_collapse] = (texts[needs_collapse]
-                               .str.replace(_WS_RUN, " ", regex=True).str.strip())
+        import pandas as pd
+        src = texts[needs_collapse]
+        out[needs_collapse] = pd.Series(
+            [" ".join(x.split()) for x in src], index=src.index, dtype=object)
     if suspect.any():
         out[suspect] = texts[suspect].map(clean_text)
     return out
@@ -402,19 +420,42 @@ def extract_text_series(html):
     """Vectorized extract_text over a pandas Series of bytes: the synthetic
     single-<p>, tag-free-body shape takes the C-level path; anything else
     (multiple <p>, nested tags, no <p>) falls back to the exact per-row
-    function.  Byte-identical to extract_text row-wise."""
+    function.  Byte-identical to extract_text row-wise.
+
+    The fast path works on BYTES: markers are located with bytes.find and
+    only the <p> body is sliced out and decoded — the full-document decode
+    plus the non-greedy `<p>(.*?)</p>` regex over the decoded string cost
+    ~2.4x more and were the single largest term of the pipeline's wall
+    clock.  Byte-level marker tests are exact: the markers are pure ASCII,
+    UTF-8 is self-synchronizing for ASCII, and the errors='replace' handler
+    maps invalid bytes to U+FFFD only (never to '<', 'p', '&' or '>'), so
+    occurrence counts and positions of '<p>'/'</p>'/'<'/'&' agree between
+    the byte string and its decoded form for every input.
+    """
     import pandas as pd
-    s = html.str.decode("utf-8", errors="replace").fillna("")
-    p = s.str.extract(_P_RE, expand=False)
-    # "&" excluded from the fast path: an entity-bearing body needs the exact
-    # per-row unescape (html_unescape) to preserve the round-trip invariant.
-    fast = (p.notna() & (s.str.count("<p>") == 1)
-            & ~p.fillna("<").str.contains("<", regex=False)
-            & ~p.fillna("&").str.contains("&", regex=False))
-    out = pd.Series("", index=s.index, dtype=object)
+    hb = html.fillna(b"")
+    vals: list[str | None] = []
+    slow_rows: list[bool] = []
+    for h in hb:
+        a = h.find(b"<p>")
+        if a >= 0 and h.find(b"<p>", a + 3) < 0:
+            b_ = h.find(b"</p>", a + 3)
+            if b_ >= 0:
+                body = h[a + 3:b_]
+                # "&" excluded from the fast path: an entity-bearing body
+                # needs the exact per-row unescape (html_unescape) to
+                # preserve the round-trip invariant.
+                if b"<" not in body and b"&" not in body:
+                    vals.append(body.decode("utf-8", errors="replace"))
+                    slow_rows.append(False)
+                    continue
+        vals.append(None)
+        slow_rows.append(True)
+    out = pd.Series(vals, index=hb.index, dtype=object)
+    fast = ~pd.Series(slow_rows, index=hb.index)
     if fast.any():
-        out[fast] = clean_text_series(p[fast])
+        out[fast] = clean_text_series(out[fast])
     slow = ~fast
     if slow.any():
-        out[slow] = s[slow].map(_extract_text_str)
+        out[slow] = hb[slow].map(extract_text)
     return out

@@ -23,13 +23,59 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def small_input(sf_dir: str, name: str) -> bool:
+    """True when the table's parquet is in the unambiguous tiny-input
+    regime of ``scan_parallel`` (see there): the whole input is a couple of
+    scan splits, so a round-robin repartition to core count is a bounded,
+    always-worth-it shuffle for compute-heavy consumers.  False for
+    non-local paths (no os.stat) and for anything big enough to split
+    naturally."""
+    import os
+    try:
+        size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return False
+    return size < 256 * 1024 * 1024
+
+
+def scan_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` with a scan-parallelism floor for compute-heavy consumers.
+
+    A parquet input smaller than one scan split (maxPartitionBytes, and a
+    single row group regardless) yields ONE task, serializing every
+    downstream per-row expression onto one core of the session — the
+    guide's 'input skew: repartition immediately after the read' case
+    (measured: the minhash/simhash chains ran 2x faster at sf0.1 once
+    spread).  The round-robin repartition is gated on the FILE BYTES (a
+    free os.stat, no extra query planning): it only fires when the whole
+    input could not possibly fill one split per core, so at any real scale
+    (file count x split size >> cores) this is load() verbatim — never a
+    shuffle of a large corpus.  Non-local paths skip the stat and return
+    the plain scan."""
+    df = load(spark, sf_dir, name)
+    # fire only in the unambiguous tiny-input regime (small_input): the
+    # whole file fits in a couple of scan splits, so the shuffle moves a
+    # bounded few hundred MB at most.  Larger inputs already split
+    # naturally; repartitioning them would shuffle real data for a marginal
+    # parallelism gain.
+    if small_input(sf_dir, name):
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _sentence_case_col():
+    """Per-doc fixture sentence as ONE parsed SQL CASE expression.  The old
+    py4j when-chain cost ~20 JVM round-trips per docs_table call (~150 ms of
+    pure plan-build time paid by every docs-derived query); a single
+    F.expr string is one round-trip for the identical expression tree.
+    The sentences contain no quote characters (asserted), so the literal
+    embedding is exact."""
     n = len(fixtures.SENTENCES)
-    expr = None
-    for i, s in enumerate(fixtures.SENTENCES):
-        cond = F.col("doc_id") % n == i
-        expr = F.when(cond, F.lit(s)) if expr is None else expr.when(cond, F.lit(s))
-    return expr
+    assert all("'" not in s and "\\" not in s for s in fixtures.SENTENCES)
+    branches = " ".join(
+        f"WHEN doc_id % {n} = {i} THEN '{s}'"
+        for i, s in enumerate(fixtures.SENTENCES))
+    return F.expr(f"CASE {branches} END")
 
 
 def docs_table(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFrame:
@@ -39,8 +85,14 @@ def docs_table(spark: SparkSession, sf_dir: str, with_html: bool = True) -> Data
     sentence + skew sentence on even doc_ids — "Berlin" becomes a hot key in
     ~50% of pages, per the north rule's skew requirement); `html` wraps it in
     deterministic boilerplate so the extract stage has real work.
+
+    The html path applies the scan-parallelism floor (``scan_parallel``):
+    its consumers run the Arrow-batched extraction UDFs, whose per-row cost
+    dwarfs the one bounded shuffle when the input is a single tiny split.
     """
-    return derive_docs(load(spark, sf_dir, "documents"), with_html=with_html)
+    src = (scan_parallel(spark, sf_dir, "documents") if with_html
+           else load(spark, sf_dir, "documents"))
+    return derive_docs(src, with_html=with_html)
 
 
 def replicate_documents(documents: DataFrame, k: int, heavy: int = 1) -> DataFrame:
@@ -75,21 +127,35 @@ def derive_docs(d: DataFrame, with_html: bool = True) -> DataFrame:
         F.col("text"), F.lit(" "), _sentence_case_col(),
         F.when(F.col("doc_id") % 2 == 0, F.lit(" " + fixtures.SKEW_SENTENCE)).otherwise(F.lit("")),
     )
-    out = (
-        d.withColumn("url", F.concat(F.lit("https://test.example/"), F.col("lang"),
-                                     F.lit("/doc"), F.lpad(F.col("doc_id").cast("string"),
-                                                           fixtures.URL_ID_DIGITS, "0")))
-        .withColumn("warc_ts", F.expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)"))
-        .withColumn("body_text", body)
-        .withColumn("link_lang", F.when(F.col("lang") == "de", F.lit("de")).otherwise(F.lit("en")))
+    # ONE select for all derived columns (not a withColumn chain): each
+    # withColumn is a separate analysis pass plus py4j round-trip — pure
+    # plan-build cost paid by every docs-derived query (guide §1.2 order:
+    # this is per-call fixed overhead, measured ~0.3 s/call at the bench).
+    out = d.select(
+        "*",
+        F.concat(F.lit("https://test.example/"), F.col("lang"),
+                 F.lit("/doc"), F.lpad(F.col("doc_id").cast("string"),
+                                       fixtures.URL_ID_DIGITS, "0")).alias("url"),
+        F.expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)").alias("warc_ts"),
+        body.alias("body_text"),
+        F.when(F.col("lang") == "de", F.lit("de")).otherwise(F.lit("en")).alias("link_lang"),
     )
     if with_html:
         # native mirror of refsem.render_html: minimal invertible escaping of
-        # text nodes (& first), so html == render_html(body_text) byte-for-byte
-        escaped = F.replace(
-            F.replace(F.replace(F.col("body_text"), F.lit("&"), F.lit("&amp;")),
-                      F.lit("<"), F.lit("&lt;")),
-            F.lit(">"), F.lit("&gt;"))
+        # text nodes (& first), so html == render_html(body_text) byte-for-byte.
+        # The replace chain is gated on one contains() probe per char:
+        # replace of an absent pattern is the identity, so rows without any
+        # of &<> (the overwhelmingly common case) skip all three full-string
+        # COPIES and pay three scan-only probes — at the 1M-page bench
+        # corpus that is ~20 GB of string churn removed from the timed
+        # generation stage (guide §1.2: per-task work).  body_text is a
+        # plain attribute, so its duplication across the branches is free.
+        bt = F.col("body_text")
+        escaped = F.when(
+            bt.contains("&") | bt.contains("<") | bt.contains(">"),
+            F.replace(F.replace(F.replace(bt, F.lit("&"), F.lit("&amp;")),
+                                F.lit("<"), F.lit("&lt;")),
+                      F.lit(">"), F.lit("&gt;"))).otherwise(bt)
         out = out.withColumn(
             "html",
             F.encode(F.concat(F.lit(refsem._HTML_PRE), escaped,
