@@ -100,12 +100,16 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
     identical partition (pytest-asserted on random graphs) to
     ``connected_components``.
     """
-    e = (edges.select("a", "b")
-         .filter(F.col("a") != F.col("b"))
-         .distinct().localCheckpoint())
-    all_nodes = (e.select(F.col("a").alias("node"))
-                 .unionByName(e.select(F.col("b").alias("node")))
-                 .distinct().localCheckpoint())
+    e0 = (edges.select("a", "b")
+          .filter(F.col("a") != F.col("b"))
+          .distinct().localCheckpoint())
+    e = e0
+    # all_nodes is consumed ONCE, in the final left join — deriving it
+    # lazily from the already-materialized e0 costs nothing per round,
+    # where the old eager localCheckpoint paid a full extra job up front
+    all_nodes = (e0.select(F.col("a").alias("node"))
+                 .unionByName(e0.select(F.col("b").alias("node")))
+                 .distinct())
 
     def star(ed: DataFrame, large: bool) -> DataFrame:
         # each step views the edge list as UNDIRECTED: symmetrize first
@@ -119,10 +123,14 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
         if large:
             out = (sym.join(m, "a").filter(F.col("b") > F.col("a"))
                    .select(F.col("b").alias("a"), F.col("m").alias("b")))
-        else:
-            out = (src.join(m, "a")
-                   .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                   .unionByName(m.select("a", F.col("m").alias("b"))))
+            # NO dedup here (round 8): the large-star output feeds ONLY the
+            # small-star half of the same round, whose min-aggregate is
+            # duplicate-insensitive and whose own distinct dedups the round's
+            # result — the intermediate exchange bought nothing (guide §2.4)
+            return out.filter(F.col("a") != F.col("b"))
+        out = (src.join(m, "a")
+               .select(F.col("b").alias("a"), F.col("m").alias("b"))
+               .unionByName(m.select("a", F.col("m").alias("b"))))
         return out.filter(F.col("a") != F.col("b")).distinct()
 
     prev_sig = None

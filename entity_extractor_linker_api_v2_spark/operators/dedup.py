@@ -123,11 +123,11 @@ MINHASH_A = [((2654435761 * (2 * i + 1)) % (1 << 31)) | 1 for i in range(N_HASHE
 MINHASH_B = [(i * 2654435761) % MINHASH_P for i in range(N_HASHES)]
 
 
-def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """(id, sig_idx 0..N-1, minhash): min over shingles of the i-th
-    universal hash of the shingle's base hash.  Pure array math per row —
-    embarrassingly parallel, zero shuffle.
+def minhash_sig_array(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, sig: array<long>) minhash signature as ONE array column — the
+    pre-explosion form ``lsh_candidate_pairs`` derives per-row band keys
+    from.  Pure array math per row — embarrassingly parallel, zero shuffle.
     The explode(array(…)) is a Generate barrier (same as
     winnow_fingerprints): it materializes the base-hash array ONCE per
     row — CollapseProject would otherwise re-inline the shingling + md5
@@ -141,7 +141,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         F.array_min(F.transform(
             "_bh", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
         for a, b in zip(MINHASH_A, MINHASH_B)])
-    return (d.select(F.col(id_col), F.posexplode(sig).alias("sig_idx", "minhash")))
+    return d.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, sig_idx 0..N-1, minhash): the exploded registry/oracle surface
+    of ``minhash_sig_array``."""
+    return minhash_sig_array(df, id_col, text_col).select(
+        F.col(id_col), F.posexplode("sig").alias("sig_idx", "minhash"))
 
 
 BUCKET_CAP = 64     # max members joined per (band_id, band_key) bucket
@@ -162,12 +170,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     the same (band_id, band_key) key as the join itself: no extra exchange.
     """
     from pyspark.sql import Window
-    sig = minhash_signatures(df, id_col, text_col)
-    bands = (sig.withColumn("band_id", (F.col("sig_idx") / BAND_ROWS).cast("int"))
-             .groupBy(id_col, "band_id")
-             .agg(F.md5(F.concat_ws("|", F.transform(
-                 F.sort_array(F.collect_list("minhash")),
-                 lambda x: x.cast("string")))).alias("band_key")))
+    # Band keys are derived PER ROW from the signature array (round 8):
+    # band b's members are exactly sig[b*BAND_ROWS .. (b+1)*BAND_ROWS-1],
+    # and md5(concat_ws('|', sort_array(slice))) equals the old
+    # groupBy(id, band_id) + sort_array(collect_list(minhash)) formulation
+    # value-for-value — so the corpus-wide explode + hash-aggregate
+    # EXCHANGE that used to open the LSH chain is gone (guide §2.4: remove
+    # shuffles outright); the first shuffle is now the bucket-cap window on
+    # (band_id, band_key), the same key the pair join uses.
+    sig = minhash_sig_array(df, id_col, text_col)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", F.transform(
+                F.sort_array(F.slice("sig", 1 + b * BAND_ROWS, BAND_ROWS)),
+                lambda x: x.cast("string")))).alias("band_key"))
+        for b in range(N_HASHES // BAND_ROWS)])
+    bands = (sig.select(F.col(id_col), F.explode(band_structs).alias("_b"))
+             .select(F.col(id_col), F.col("_b.band_id").alias("band_id"),
+                     F.col("_b.band_key").alias("band_key")))
     if bucket_cap:
         w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
         bands = (bands.withColumn("_rn", F.row_number().over(w))
@@ -239,7 +260,13 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             f"max_hamming={max_hamming} breaks the pigeonhole losslessness "
             f"of the {SIMHASH_BANDS}-band generator (complete only for "
             f"Hamming <= {SIMHASH_BANDS - 1}); raise SIMHASH_BANDS instead")
-    sh = simhash(df, id_col, text_col)
+    # the (id, simhash) relation feeds THREE consumers (the band generator
+    # plus both sides of the verify join-back) — without materialization
+    # each consumer re-runs the corpus-wide per-word md5 vote pass (the
+    # most expensive step here, measured 3x the one-pass cost at sf0.1).
+    # Same eager-boundary reasoning as jaccard_pairs' cands/sh; at cluster
+    # scale this is a StageCheckpoint parquet snapshot instead.
+    sh = simhash(df, id_col, text_col).localCheckpoint()
     bands = simhash_bands(sh, id_col)
     if bucket_cap:
         w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
@@ -274,14 +301,20 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # semi-join the corpus down FIRST, so the materialized shingle relation
     # is O(candidate docs), not O(corpus tokens) — at 100 TB the candidate
     # set is orders of magnitude smaller than the corpus (most docs share
-    # no LSH bucket with anything)
+    # no LSH bucket with anything).  `need` is not deduped: a left-semi
+    # probe side tolerates duplicate keys, so the distinct exchange bought
+    # nothing (guide §2.4 — distinct on data used only as a semi filter).
     need = (cands.select(F.col("a").alias(id_col))
-            .unionByName(cands.select(F.col("b").alias(id_col))).distinct())
+            .unionByName(cands.select(F.col("b").alias(id_col))))
     # the distinct shingle relation feeds three consumers (a-side, b-side,
-    # sizes) — same eager-materialization reasoning as cands
+    # sizes) — same eager-materialization reasoning as cands.  Dedup is
+    # array_distinct PER ROW, not a corpus-wide .distinct(): shingles only
+    # repeat within a document ((id, shingle) is unique once each row's
+    # array is deduped), so the exchange the old distinct paid is removed.
     sh = (df.join(need, id_col, "left_semi")
           .withColumn("_sh", _shingles(text_col))
-          .select(F.col(id_col), F.explode("_sh").alias("shingle")).distinct()
+          .select(F.col(id_col),
+                  F.explode(F.array_distinct("_sh")).alias("shingle"))
           .localCheckpoint())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     # intersection size: shingle equality IN the join keys (hash join on

@@ -27,12 +27,18 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality signals + keep flag."""
-    toks = F.split(F.col(text_col), " ")
+    """Length / punctuation / stopword-ratio quality signals + keep flag.
+
+    Round-8 micro-shape (values unchanged): token count is taken from the
+    SAME lowered split the stopword filter traverses (split count is
+    case-independent, so one split + one lower instead of two splits), and
+    the punctuation count uses translate() — a C-level char strip — instead
+    of a regex replace over the full text."""
+    toks = F.split(F.lower(text_col), " ")
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
-    stop = _hits(text_col, DE_STOPWORDS + EN_STOPWORDS)
-    n_punct = F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    stop = F.size(F.filter(toks, lambda w: w.isin(*(DE_STOPWORDS + EN_STOPWORDS))))
+    n_punct = F.length(text_col) - F.length(F.translate(F.col(text_col), ".,;:!?", ""))
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
