@@ -69,7 +69,15 @@ def main() -> None:
             QUERIES[warm](spark, "/root/testdata/sf0.001") \
                 .write.format("noop").mode("overwrite").save()
         _evict_entity_cache(spark)
+
+        def read_steal() -> int:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8]) if len(parts) > 8 else 0
+
+        steal: list[int] = []
         for p in range(args.passes):
+            s0 = read_steal()
             for name in names:
                 spark.sparkContext.setJobDescription(f"pass{p}:{name}")
                 t0 = time.perf_counter()
@@ -77,6 +85,7 @@ def main() -> None:
                     .write.format("noop").mode("overwrite").save()
                 samples[name].append(round(time.perf_counter() - t0, 3))
                 spark.sparkContext.setJobDescription(None)
+            steal.append(read_steal() - s0)
             _evict_entity_cache(spark)
     finally:
         spark.stop()
@@ -88,6 +97,7 @@ def main() -> None:
 
     result = {
         "sf_dir": SF_DIR, "passes": args.passes,
+        "steal_ticks_per_pass": steal,
         "queries_med": {n: round(med(v), 3) for n, v in samples.items()},
         "queries_min": {n: min(v) for n, v in samples.items()},
         "value_med": round(sum(med(v) for v in samples.values()

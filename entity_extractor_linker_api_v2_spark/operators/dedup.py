@@ -350,20 +350,30 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
     Each stage shrinks the corpus the next stage pays for — at 100 TB the
     LSH stage runs on the exact-deduped survivors only.  Returns the kept
     docs as (id, n_chars, n_tokens)."""
-    from . import textstats
-    q = textstats.quality_score(df, id_col, text_col)
-    kept = df.join(q.filter("keep").select(id_col), id_col, "left_semi")
+    # Round-8 shape (identical survivors, two joins fewer): the quality
+    # gate is a PER-ROW predicate — applying it as a filter instead of a
+    # semi-join against quality_score's output removes a broadcast join and
+    # a second corpus scan (the predicate below is exactly quality_score's
+    # `keep`: n_tokens >= 10 AND n_chars >= 50).  The exact-dedup winner is
+    # kept by running the min-id window DIRECTLY on the filtered corpus
+    # (ids are unique, so rank-1-per-fp rows ARE the winner ids the old
+    # semi-join-back selected) — one window exchange instead of
+    # fingerprint-scan + window + join-back.
     from pyspark.sql import Window
-    w = Window.partitionBy("fp").orderBy(id_col)
-    keep_exact = (fingerprint(kept, id_col, text_col)
-                  .withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).select(id_col))
+    quality_keep = ((F.size(F.split(F.lower(text_col), " ")) >= 10)
+                    & (F.length(text_col) >= 50))
+    w = Window.partitionBy("_fp").orderBy(id_col)
     # each curation stage is a materialization boundary (localCheckpoint
     # here; StageCheckpoint parquet at cluster scale): the exact-dedup
     # survivors feed the LSH chain FOUR times (minhash, candidate
     # semi-join, shingle sides) plus the final anti-join — recomputing the
     # quality+window lineage per consumer cost 29.5 s vs 9 s at sf0.1
-    kept = kept.join(keep_exact, id_col, "left_semi").localCheckpoint()
+    kept = (normalized(df.filter(quality_keep), text_col)
+            .withColumn("_fp", F.md5("_norm"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_fp", "_rn", "_norm")
+            .localCheckpoint())
     drop = (jaccard_pairs(kept, id_col, text_col, threshold=jaccard_threshold)
             .select(F.col("b").alias(id_col)).distinct())
     return (kept.join(drop, id_col, "left_anti")

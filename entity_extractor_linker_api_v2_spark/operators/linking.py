@@ -258,72 +258,87 @@ def to_entities(joined: DataFrame) -> DataFrame:
     linker.py:66-71), finalize_dbpedia_uri (:297-343) and the linked-status
     rule (linker.py:164-167), as one select of coalesce/when chains.
     """
-    found = F.col("title").isNotNull()
-    title_de = F.when(F.col("probe_lang2") == "de", F.col("title")).otherwise(F.col("title_other"))
-    title_en = F.when(F.col("probe_lang2") == "en", F.col("title")).otherwise(F.col("title_other"))
+    title_de = "CASE WHEN probe_lang2 = 'de' THEN title ELSE title_other END"
+    title_en = "CASE WHEN probe_lang2 = 'en' THEN title ELSE title_other END"
 
-    def wiki_url_col(title, lang):
-        return F.when(title.isNotNull() & (title != ""),
-                      F.concat(F.lit(f"https://{lang}.wikipedia.org/wiki/"),
-                               F.regexp_replace(title, " ", "_"))).otherwise(F.lit(""))
+    def wiki_url_sql(title, lang):
+        return (f"CASE WHEN {title} IS NOT NULL AND {title} != '' THEN "
+                f"concat('https://{lang}.wikipedia.org/wiki/', "
+                f"regexp_replace({title}, ' ', '_')) ELSE '' END")
 
-    # two withColumns batches, not six withColumn calls: each withColumn is
-    # a full analysis pass + py4j round-trip of pure plan-build time (the
-    # second batch depends on probe_lang2, so it cannot fold into the first)
+    # two selectExpr batches (the second depends on probe_lang2): each is
+    # ONE py4j round-trip + one analysis pass — the old withColumn chain
+    # paid both per derived column, pure plan-build time inside the bench
+    # timer
     d = (joined
-         .withColumn("probe_lang2",
-                     F.when(found, F.col("hit_lang")).otherwise(F.lit(None)))
-         .withColumns({
-             "label_de0": F.coalesce(title_de, F.lit("")),
-             "label_en": F.coalesce(title_en, F.lit("")),
-             "url_de0": wiki_url_col(title_de, "de"),
-             "url_en0": wiki_url_col(title_en, "en"),
-             "wiki_status0": F.when(found, F.lit("found"))
-                              .otherwise(F.lit("not_found"))}))
+         .selectExpr("*", "CASE WHEN title IS NOT NULL THEN hit_lang END "
+                          "AS probe_lang2")
+         .selectExpr(
+             "*",
+             f"coalesce({title_de}, '') AS label_de0",
+             f"coalesce({title_en}, '') AS label_en",
+             f"{wiki_url_sql(title_de, 'de')} AS url_de0",
+             f"{wiki_url_sql(title_en, 'en')} AS url_en0",
+             "CASE WHEN title IS NOT NULL THEN 'found' ELSE 'not_found' END "
+             "AS wiki_status0"))
 
-    label_de = F.when(F.col("label_de0") == "", F.col("label")).otherwise(F.col("label_de0"))
-    gen_url_de = F.concat(F.lit("https://de.wikipedia.org/wiki/"), F.regexp_replace(label_de, " ", "_"))
-    url_de = F.when(F.col("url_de0") == "", gen_url_de).otherwise(F.col("url_de0"))
-    wiki_status = F.when((F.col("url_de0") == "") & (F.col("wiki_status0") == "not_found"),
-                         F.lit("found_from_prompt")).otherwise(F.col("wiki_status0"))
-    url_en = F.when((F.col("url_en0") == "") & (F.col("label_en") != ""),
-                    F.concat(F.lit("https://en.wikipedia.org/wiki/"),
-                             F.regexp_replace(F.col("label_en"), " ", "_"))
-                    ).otherwise(F.col("url_en0"))
-    dbpedia = F.when(F.trim(F.col("label_en")) != "",
-                     F.concat(F.lit("http://dbpedia.org/resource/"),
-                              F.regexp_replace(F.trim(F.col("label_en")), " ", "_"))
-                     ).when(url_en.contains("en.wikipedia.org/wiki/"),
-                            F.concat(F.lit("http://dbpedia.org/resource/"),
-                                     F.element_at(F.split(url_en, "en\\.wikipedia\\.org/wiki/"), -1))
-                            ).otherwise(F.lit(""))
-    wikidata = F.when(found, F.coalesce(F.col("wikidata_id"), F.lit(""))).otherwise(F.lit(""))
-    status = F.when(wiki_status.isin("found", "found_from_prompt") & (wikidata != ""),
-                    F.lit("linked")).otherwise(F.lit("not_linked"))
+    # The final projection is ONE parsed selectExpr (round 8): the Column
+    # formulation issued ~250 py4j round-trips of pure plan-build time per
+    # call (~0.3 s inside the bench timer); the SQL strings below parse to
+    # the IDENTICAL expression trees (each f-string inlines its
+    # sub-expressions exactly where the old Python variables were inlined),
+    # and the driver/oracle hash gate pins the values.
+    found_sql = "title IS NOT NULL"
+    label_de = "CASE WHEN label_de0 = '' THEN label ELSE label_de0 END"
+    gen_url_de = ("concat('https://de.wikipedia.org/wiki/', "
+                  f"regexp_replace({label_de}, ' ', '_'))")
+    url_de = f"CASE WHEN url_de0 = '' THEN {gen_url_de} ELSE url_de0 END"
+    wiki_status = ("CASE WHEN url_de0 = '' AND wiki_status0 = 'not_found' "
+                   "THEN 'found_from_prompt' ELSE wiki_status0 END")
+    url_en = ("CASE WHEN url_en0 = '' AND label_en != '' THEN "
+              "concat('https://en.wikipedia.org/wiki/', "
+              "regexp_replace(label_en, ' ', '_')) ELSE url_en0 END")
+    dbpedia = (
+        "CASE WHEN trim(label_en) != '' THEN "
+        "concat('http://dbpedia.org/resource/', "
+        "regexp_replace(trim(label_en), ' ', '_')) "
+        f"WHEN contains({url_en}, 'en.wikipedia.org/wiki/') THEN "
+        "concat('http://dbpedia.org/resource/', "
+        f"element_at(split({url_en}, 'en\\\\.wikipedia\\\\.org/wiki/'), -1)) "
+        "ELSE '' END")
+    wikidata = (f"CASE WHEN {found_sql} THEN coalesce(wikidata_id, '') "
+                "ELSE '' END")
+    status = (f"CASE WHEN {wiki_status} IN ('found', 'found_from_prompt') "
+              f"AND {wikidata} != '' THEN 'linked' ELSE 'not_linked' END")
 
-    return d.select(
+    empty_arr = "cast(array() as array<string>)"
+
+    def found_arr(c):
+        return (f"CASE WHEN {found_sql} THEN coalesce({c}, {empty_arr}) "
+                f"ELSE {empty_arr} END AS {c}")
+
+    return d.selectExpr(
         "url", "link_lang", "label", "type", "pos", "mention_idx",
-        label_de.alias("label_de"),
-        F.col("label_en"),
-        url_de.alias("url_de"),
-        url_en.alias("url_en"),
-        F.when(found, F.coalesce(F.col("abstract"), F.lit(""))).otherwise(F.lit("")).alias("extract"),
-        wikidata.alias("wikidata_id"),
-        F.when(found, F.coalesce(F.col("thumbnail_url"), F.lit(""))).otherwise(F.lit("")).alias("thumbnail_url"),
-        F.when(found, F.coalesce(F.col("infobox_type"), F.lit(""))).otherwise(F.lit("")).alias("infobox_type"),
-        F.when(found, F.col("geo_lat")).alias("geo_lat"),
-        F.when(found, F.col("geo_lon")).alias("geo_lon"),
-        F.when(found, F.coalesce(F.col("categories"), F.array().cast("array<string>")))
-         .otherwise(F.array().cast("array<string>")).alias("categories"),
-        F.when(found, F.coalesce(F.col("internal_links"), F.array().cast("array<string>")))
-         .otherwise(F.array().cast("array<string>")).alias("internal_links"),
-        *[F.when(found, F.coalesce(F.col(c), F.array().cast("array<string>")))
-           .otherwise(F.array().cast("array<string>")).alias(c)
-          for c in ("instance_of", "subclass_of", "part_of", "has_part")],
-        dbpedia.alias("dbpedia_uri"),
-        wiki_status.alias("wiki_status"),
-        status.alias("status"),
-        F.sha2(F.concat(F.col("url"), F.col("label")), 256).alias("entity_id"),
+        f"{label_de} AS label_de",
+        "label_en",
+        f"{url_de} AS url_de",
+        f"{url_en} AS url_en",
+        f"CASE WHEN {found_sql} THEN coalesce(abstract, '') ELSE '' END AS extract",
+        f"{wikidata} AS wikidata_id",
+        f"CASE WHEN {found_sql} THEN coalesce(thumbnail_url, '') ELSE '' END AS thumbnail_url",
+        f"CASE WHEN {found_sql} THEN coalesce(infobox_type, '') ELSE '' END AS infobox_type",
+        f"CASE WHEN {found_sql} THEN geo_lat END AS geo_lat",
+        f"CASE WHEN {found_sql} THEN geo_lon END AS geo_lon",
+        found_arr("categories"),
+        found_arr("internal_links"),
+        found_arr("instance_of"),
+        found_arr("subclass_of"),
+        found_arr("part_of"),
+        found_arr("has_part"),
+        f"{dbpedia} AS dbpedia_uri",
+        f"{wiki_status} AS wiki_status",
+        f"{status} AS status",
+        "sha2(concat(url, label), 256) AS entity_id",
     )
 
 
