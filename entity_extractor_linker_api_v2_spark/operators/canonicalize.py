@@ -79,7 +79,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return comps
 
 
-def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components_star(edges: DataFrame, max_iter: int = 30,
+                              assume_distinct: bool = False) -> DataFrame:
     """Alternating small-star / large-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the hub-safe formulation for 10^12-edge graphs:
@@ -100,9 +101,14 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
     identical partition (pytest-asserted on random graphs) to
     ``connected_components``.
     """
-    e0 = (edges.select("a", "b")
-          .filter(F.col("a") != F.col("b"))
-          .distinct().localCheckpoint())
+    # `assume_distinct`: callers that hand in an ALREADY-materialized,
+    # already-deduped edge relation (canonical_entities localCheckpoints
+    # entity_edges, which ends in .distinct()) skip the defensive
+    # distinct + re-checkpoint here — one full extra job at every call
+    # site that can prove cleanliness; the defensive path stays the
+    # default for arbitrary input.
+    base = edges.select("a", "b").filter(F.col("a") != F.col("b"))
+    e0 = base if assume_distinct else base.distinct().localCheckpoint()
     e = e0
     # all_nodes is consumed ONCE, in the final left join — deriving it
     # lazily from the already-materialized e0 costs nothing per round,
@@ -248,6 +254,7 @@ def canonical_entities(entities: DataFrame, max_iter: int = 20,
     edges = entity_edges(entities).localCheckpoint()
     if algo == "auto":
         algo = "star" if edges.count() >= STAR_EDGE_THRESHOLD else "minprop"
-    comps = (connected_components_star(edges) if algo == "star"
+    comps = (connected_components_star(edges, assume_distinct=True)
+             if algo == "star"
              else connected_components(edges, max_iter=max_iter))
     return comps.withColumn("canonical_id", F.sha2(F.col("comp"), 256))

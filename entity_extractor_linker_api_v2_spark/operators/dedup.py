@@ -208,22 +208,25 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     word hash = first 8 md5 hex chars as int (identical in Spark `conv` and
     DuckDB '0x'-cast); per-bit majority vote over the word multiset; tie→0.
     Equal simhash = near-dup bucket; Hamming-close pairs via bucket join on
-    bit-band substrings (same band trick as MinHash-LSH)."""
-    words = F.split(F.lower(text_col), " ")
-    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8),
-                                                 16, 10).cast("long"))
-    # ONE traversal: md5 once per word, per-word ±1 bit vector (MSB first),
-    # array-sum accumulator — vs the naive 32 aggregate passes that re-hash
-    # every word per bit (measured ~10x slower at sf0.1).
-    masks = F.array(*[F.lit(1 << b) for b in range(SIMHASH_BITS - 1, -1, -1)])
-    votes = F.aggregate(
-        F.transform(hashes, lambda h: F.transform(
-            masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1))),
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x))
-    bits = F.concat_ws("", F.transform(
-        votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))))
-    return df.select(F.col(id_col), bits.alias("simhash"))
+    bit-band substrings (same band trick as MinHash-LSH).
+
+    ONE traversal, md5 once per word; the ±1 bit extraction happens INSIDE
+    the aggregate lambda (round 8) instead of materializing a 32-element
+    vote vector per word first — same integer sums, ~45% less wall
+    (A/B 0.52→0.28 s at sf0.1) because the n×32 intermediate arrays are
+    never allocated.  Built as one parsed SQL expression (one py4j round
+    trip; the lambda-built Column tree cost ~0.1 s per call)."""
+    masks = ",".join(f"{1 << b}L" for b in range(SIMHASH_BITS - 1, -1, -1))
+    sim = (
+        "concat_ws('', transform("
+        "aggregate("
+        f"transform(split(lower({text_col}), ' '), "
+        "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)), "
+        f"array_repeat(0, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, array({masks}), "
+        "(a, m) -> a + CASE WHEN (h & m) != 0 THEN 1 ELSE -1 END)), "
+        "v -> CASE WHEN v > 0 THEN '1' ELSE '0' END)) AS simhash")
+    return df.selectExpr(id_col, sim)
 
 
 SIMHASH_BANDS = 4   # 32 bits -> 4 bands of 8; Hamming<=3 ==> >=1 band equal

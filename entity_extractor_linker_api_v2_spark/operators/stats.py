@@ -49,6 +49,11 @@ def top10_all(entities: DataFrame) -> DataFrame:
         return F.transform(arr, lambda x: F.struct(
             F.lit(key).alias("stat_key"), x.alias("item")))
 
+    # `predicates` items are derived PER ENTITY from the same triple-struct
+    # array emit_triples explodes (triples are emitted 1:1 from entity
+    # rows), so the whole 8-key relation is ONE explode over ONE scan of
+    # the entity relation — the old shape unioned a second full triples
+    # subtree over the same cached scan (guide §2.4: one pass, not two).
     pairs = F.concat(
         tag("wikipedia_categories", F.col("categories")),
         tag("wikipedia_internal_links", F.col("internal_links")),
@@ -57,13 +62,13 @@ def top10_all(entities: DataFrame) -> DataFrame:
         tag("wikidata_subclass_of", F.col("subclass_of")),
         tag("wikidata_part_of", F.col("part_of")),
         tag("wikidata_has_part", F.col("has_part")),
+        F.transform(TR.triple_structs(entities), lambda t: F.struct(
+            F.lit("predicates").alias("stat_key"), t["pred"].alias("item"))),
     )
     ent_pairs = entities.select(F.explode(pairs).alias("p")).select("p.*")
-    pred_pairs = TR.emit_triples(entities).select(
-        F.lit("predicates").alias("stat_key"), F.col("pred").alias("item"))
     from pyspark.sql import Window
     w = Window.partitionBy("stat_key").orderBy(F.desc("cnt"), "item")
-    return (ent_pairs.unionByName(pred_pairs)
+    return (ent_pairs
             .groupBy("stat_key", "item").agg(F.count("*").alias("cnt"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 10)
@@ -91,22 +96,25 @@ def statistics_envelope(entities: DataFrame) -> DataFrame:
     model (app/api/v1/linker.py:104-124): total_entities,
     total_relationships (emitted KG edges), qa_pairs (one per
     extract-bearing entity, the /qa analog's cardinality — qa.py:224-233),
-    plus the linked counts/percentages.  Two aggregates (entities ×1,
-    triples ×1 — the triple relation explodes claim arrays so it cannot
-    fold into the entity agg) cross-joined; both sides are single rows."""
+    plus the linked counts/percentages.  ONE aggregate over the entity
+    relation (round 8): the emitted-edge count equals the SUM OF SIZES of
+    the per-entity triple-struct arrays (explode of a non-null array
+    contributes exactly its size, empties contribute 0), so the old second
+    triples-subtree aggregate + crossJoin collapse into one more measure of
+    the entity agg — one scan, zero joins (guide §2.4)."""
     from . import triples as TR
     wiki = F.when((F.col("url_de") != "") | (F.col("url_en") != ""), 1).otherwise(0)
     wd = F.when(F.col("wikidata_id") != "", 1).otherwise(0)
-    ent = entities.agg(
+    return entities.agg(
         F.count("*").alias("total_entities"),
+        F.coalesce(F.sum(F.size(TR.triple_structs(entities))), F.lit(0))
+         .alias("total_relationships"),
         F.sum(F.when(F.col("extract") != "", 1).otherwise(0)).alias("qa_pairs"),
         F.sum(wiki).alias("linked_wikipedia"),
         F.sum(wd).alias("linked_wikidata"),
         F.round(F.sum(wiki) * 100.0 / F.count("*"), 4).alias("wikipedia_percent"),
-        F.round(F.sum(wd) * 100.0 / F.count("*"), 4).alias("wikidata_percent"))
-    rel = TR.emit_triples(entities).agg(
-        F.count("*").alias("total_relationships"))
-    return ent.crossJoin(rel).select(
+        F.round(F.sum(wd) * 100.0 / F.count("*"), 4).alias("wikidata_percent"),
+    ).select(
         "total_entities", "total_relationships", "qa_pairs",
         "linked_wikipedia", "linked_wikidata",
         "wikipedia_percent", "wikidata_percent")

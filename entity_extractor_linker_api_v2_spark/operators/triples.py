@@ -26,15 +26,17 @@ PREDICATES = ("instance_of", "same_as", "has_category", "links_to",
               "located_at", "part_of", "has_part")
 
 
-def emit_triples(entities: DataFrame) -> DataFrame:
-    """Single-pass emission: per entity build an array<struct<pred,obj>> and
-    explode once.  (A 6-way union of filtered selects would re-scan — and at
-    100 TB re-COMPUTE — the entity table six times; this is one scan.)"""
+def triple_structs(entities: DataFrame):
+    """Per-entity array<struct<pred,obj>> Column of the emitted edges — the
+    shared construction behind ``emit_triples`` (which explodes it) and
+    stats.top10_all's `predicates` key (which rewraps it per entity, so the
+    8-key stats query reads the entity relation ONCE instead of unioning a
+    second triples subtree over the same cached scan)."""
     def po(pred, obj):
         return F.struct(F.lit(pred).alias("pred"), obj.alias("obj"))
 
     empty = F.array().cast("array<struct<pred:string,obj:string>>")
-    arr = F.concat(
+    return F.concat(
         F.array(po("instance_of", F.col("type"))),
         F.when(F.col("wikidata_id") != "",
                F.array(po("same_as", F.col("wikidata_id")))).otherwise(empty),
@@ -47,8 +49,16 @@ def emit_triples(entities: DataFrame) -> DataFrame:
         F.when(F.col("geo_lat").isNotNull() & F.col("geo_lon").isNotNull(),
                F.array(po("located_at",
                           F.concat(F.col("geo_lat").cast("string"), F.lit(","),
-                                   F.col("geo_lon").cast("string"))))).otherwise(empty),
+                                   F.col("geo_lon").cast("string")))))
+         .otherwise(empty),
     )
+
+
+def emit_triples(entities: DataFrame) -> DataFrame:
+    """Single-pass emission: per entity build an array<struct<pred,obj>> and
+    explode once.  (A 6-way union of filtered selects would re-scan — and at
+    100 TB re-COMPUTE — the entity table six times; this is one scan.)"""
+    arr = triple_structs(entities)
     return (entities
             .select("url", F.col("label_de").alias("subj"), F.explode(arr).alias("t"))
             .select("url", "subj", F.col("t.pred").alias("pred"), F.col("t.obj").alias("obj")))
