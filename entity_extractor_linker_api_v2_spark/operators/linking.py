@@ -165,18 +165,23 @@ def pick_best(candidates: DataFrame) -> DataFrame:
 
 def hot_join_keys(mentions: DataFrame, key: list[str],
                   hot_share: float = 0.01,
-                  max_hot_keys: int = 64) -> list[tuple]:
+                  max_hot_keys: int | None = None) -> list[tuple]:
     """Frequency-sketch the join keys and return the HOT ones (share of the
     fact table ≥ ``hot_share``), heaviest first.
 
     Cost at 100 TB: ONE column-pruned pass over the fact table's key
     columns with map-side combine — the shuffle carries at most
     |distinct keys| × |map partitions| partial rows, never the facts.  The
-    collect is bounded by construction: at most ``1/hot_share`` keys can
-    exceed the share threshold (64 hot keys at the 1% default is already
-    impossible), so the driver holds a handful of tuples.  Production
-    callers that maintain table statistics can pass ``hot_keys`` straight
-    into ``join_back`` and skip this pass entirely."""
+    collect is bounded by construction: at most ``floor(1/hot_share)``
+    keys can hold ≥ ``hot_share`` of the table, and ``max_hot_keys``
+    defaults to exactly that bound (round-8 advice fix: the old fixed cap
+    of 64 could silently truncate qualifying keys at shares < 1/64,
+    leaving them unsalted — the straggler the feature exists to remove).
+    Production callers that maintain table statistics can pass
+    ``hot_keys`` straight into ``join_back`` and skip this pass
+    entirely."""
+    if max_hot_keys is None:
+        max_hot_keys = int(1.0 / hot_share)
     freq = (mentions.select(*key).groupBy(*key)
             .agg(F.count(F.lit(1)).alias("_cnt")).persist())
     try:
@@ -208,7 +213,11 @@ def join_back(mentions: DataFrame, resolved: DataFrame,
     join key widens by that one int.  Same result as the
     hot-union-tail shape, but the fact table is scanned ONCE (a union
     re-reads it or forces a persist) and tail rows pay only a constant-zero
-    int — not a per-row hash — which is what made the round-6 all-keys salt
+    int — not a per-row hash.  NOTE (round-8 advice): the auto-sketch is
+    itself one extra execution of the fact table's lineage — callers with
+    heavy upstream lineage should persist/checkpoint ``mentions`` first or
+    pass ``hot_keys`` explicitly (the pipeline's cached path does).  The
+    all-keys shape is what made the round-6 all-keys salt
     (``salt_all=True``, kept for measurement contrast) lose wall clock: it
     exploded the dimension wholesale and hashed 100% of rows to fix 0.03%
     of keys (SKEW_CHECK.json, BENCH.md).  With no hot key found the join is
