@@ -263,28 +263,34 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             f"max_hamming={max_hamming} breaks the pigeonhole losslessness "
             f"of the {SIMHASH_BANDS}-band generator (complete only for "
             f"Hamming <= {SIMHASH_BANDS - 1}); raise SIMHASH_BANDS instead")
-    # the (id, simhash) relation feeds THREE consumers (the band generator
-    # plus both sides of the verify join-back) — without materialization
-    # each consumer re-runs the corpus-wide per-word md5 vote pass (the
-    # most expensive step here, measured 3x the one-pass cost at sf0.1).
-    # Same eager-boundary reasoning as jaccard_pairs' cands/sh; at cluster
-    # scale this is a StageCheckpoint parquet snapshot instead.
-    sh = simhash(df, id_col, text_col).localCheckpoint()
-    bands = simhash_bands(sh, id_col)
+    # The simhash travels WITH the band rows (round 8, same `carry` shape
+    # the streaming fold uses): sim_a/sim_b come out of the candidate join
+    # itself, so both verify join-backs to the (id, simhash) relation are
+    # gone, and with them the localCheckpoint that existed only because sh
+    # fed three consumers (guide §2.4).  distinct over (a, b, sim_a, sim_b)
+    # dedups exactly like (a, b): the simhash is a function of the id.
+    # With the bucket-cap window present the l/r self-join reuses the
+    # window's exchange (one corpus md5-vote pass, plan-asserted); the
+    # uncapped path keeps the eager boundary — without the window exchange
+    # each join side would recompute the vote pass.
+    sh = simhash(df, id_col, text_col)
+    if not bucket_cap:
+        sh = sh.localCheckpoint()
+    bands = simhash_bands(sh, id_col, carry=("simhash",))
     if bucket_cap:
         w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
         bands = (bands.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
-    l = bands.select(F.col(id_col).alias("a"), "band_id", "band_key")
-    r = bands.select(F.col(id_col).alias("b"), "band_id", "band_key")
+    l = bands.select(F.col(id_col).alias("a"),
+                     F.col("simhash").alias("sim_a"), "band_id", "band_key")
+    r = bands.select(F.col(id_col).alias("b"),
+                     F.col("simhash").alias("sim_b"), "band_id", "band_key")
     cands = (l.join(r, ["band_id", "band_key"])
-             .filter(F.col("a") < F.col("b")).select("a", "b").distinct())
-    sa = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"))
-    sb = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"))
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", "sim_a", "sim_b").distinct())
     ham = F.bit_count(F.conv("sim_a", 2, 10).cast("long")
                       .bitwiseXOR(F.conv("sim_b", 2, 10).cast("long")))
-    return (cands.join(sa, "a").join(sb, "b")
-            .withColumn("hamming", ham.cast("long"))
+    return (cands.withColumn("hamming", ham.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
 
@@ -309,30 +315,32 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # nothing (guide §2.4 — distinct on data used only as a semi filter).
     need = (cands.select(F.col("a").alias(id_col))
             .unionByName(cands.select(F.col("b").alias(id_col))))
-    # the distinct shingle relation feeds three consumers (a-side, b-side,
-    # sizes) — same eager-materialization reasoning as cands.  Dedup is
-    # array_distinct PER ROW, not a corpus-wide .distinct(): shingles only
-    # repeat within a document ((id, shingle) is unique once each row's
-    # array is deduped), so the exchange the old distinct paid is removed.
+    # per-doc DISTINCT shingle set, kept as ONE array row per doc (round 8):
+    # shingles only repeat within a document, so array_distinct per row is
+    # the whole dedup.  The set stays un-exploded — intersection and union
+    # sizes are per-pair array math below, so the exploded (id, shingle)
+    # relation of the earlier shape (its (b, shingle) shuffle join, its
+    # groupBy(a,b) count, the separate sizes aggregate and its two
+    # join-backs) is gone entirely (guide §2.4: remove shuffles outright).
+    # Shuffled bytes per pair participation are the same either way — the
+    # doc's shingle set travels once per side — just in one row, not |sh|.
     sh = (df.join(need, id_col, "left_semi")
-          .withColumn("_sh", _shingles(text_col))
           .select(F.col(id_col),
-                  F.explode(F.array_distinct("_sh")).alias("shingle"))
+                  F.array_distinct(_shingles(text_col)).alias("_sh"))
           .localCheckpoint())
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    # intersection size: shingle equality IN the join keys (hash join on
-    # (b, shingle)) — leaving it as a filter above the join risks a
-    # |sh_a|×|sh_b| cross product per candidate pair (measured 1.7× slower
-    # end-to-end even with the optimizer's pushdown)
-    inter = (cands
-             .join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("shingle", "s"), "a")
-             .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("shingle", "s"), ["b", "s"])
-             .groupBy("a", "b").agg(F.count("*").alias("inter")))
-    return (inter
-            .join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n", "na"), "a")
-            .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n", "nb"), "b")
+    # exact Jaccard per candidate pair: |A∩B| via array_intersect over the
+    # distinct sets — identical counts to the old (b, shingle) equi-join +
+    # count(*), and size(_sha)/size(_shb) are exactly the old per-doc
+    # distinct-shingle counts.  `inter > 0` keeps the old inner-join
+    # semantics (zero-overlap pairs never surfaced) for ANY threshold.
+    return (cands
+            .join(sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha")), "a")
+            .join(sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb")), "b")
+            .withColumn("inter", F.size(F.array_intersect("_sha", "_shb")))
+            .filter(F.col("inter") > 0)
             .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+                F.col("inter")
+                / (F.size("_sha") + F.size("_shb") - F.col("inter")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
 
