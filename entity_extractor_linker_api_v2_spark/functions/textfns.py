@@ -20,10 +20,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _CASED = r"[\p{Lu}\p{Ll}\p{Lt}]"
+# the same character class as it appears INSIDE a Spark SQL string literal
+# (the SQL parser unescapes \\ -> \ before the regex engine sees it)
+_CASED_SQL = r"[\\p{Lu}\\p{Ll}\\p{Lt}]"
+
+
+def title_case_sql(x: str) -> str:
+    """SQL-text twin of ``title_case`` for an expression string ``x``.
+
+    Parses to the identical expression tree in ONE round trip — the
+    lambda-built Column version issues dozens of py4j calls per use, pure
+    plan-construction time inside bench timers (guide §1.2).  Equality with
+    the Column twin is pytest-asserted on the tricky-name set."""
+    return (
+        "concat_ws('', transform(split(" + x + ", ''), (c, i) -> "
+        "CASE WHEN NOT (c RLIKE '" + _CASED_SQL + "') THEN c "
+        "WHEN i = 0 OR NOT (substring(" + x + ", i, 1) RLIKE '"
+        + _CASED_SQL + "') THEN upper(c) "
+        "ELSE lower(c) END))")
 
 
 def title_case(col: Column | str) -> Column:
-    c0 = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        return F.expr(title_case_sql(col))
+    c0 = col
     return F.concat_ws("", F.transform(
         F.split(c0, ""),
         lambda c, i: F.when(~c.rlike(_CASED), c)

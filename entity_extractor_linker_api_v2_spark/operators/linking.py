@@ -52,6 +52,25 @@ def _variation_array(label):
     )
 
 
+def _variations_sql(x: str = "label") -> str:
+    """SQL-text twin of ``_variation_array(F.col(x))`` — one expr parse
+    instead of the lambda-built Column tree's dozens of py4j round trips
+    (guide §1.2: probe construction is per-call fixed work inside the bench
+    timer).  Pytest asserts element-wise equality with the Column twin on
+    the tricky-name set (tests/test_operators.py)."""
+    from ..functions.textfns import title_case_sql
+    art = ("CASE WHEN startswith({x}, '{a} ') THEN substring({x}, 5) END"
+           .format)
+    return ("array(" + title_case_sql(x)
+            + ", lower(" + x + "), upper(" + x + "), "
+            + art(x=x, a="Der") + ", " + art(x=x, a="Die") + ", "
+            + art(x=x, a="Das") + ", "
+            + "replace(" + x + ", 'ß', 'ss'), "
+            + "replace(" + x + ", 'ä', 'ae'), "
+            + "replace(" + x + ", 'ö', 'oe'), "
+            + "replace(" + x + ", 'ü', 'ue'))")
+
+
 def probe_keys_df(mention_keys: DataFrame) -> DataFrame:
     """distinct (label, link_lang) → (label, link_lang, probe, probe_lang, prio).
 
@@ -60,21 +79,24 @@ def probe_keys_df(mention_keys: DataFrame) -> DataFrame:
     name variation in link_lang (order-preserving dedup, original excluded,
     strategies.py:227-258).
     """
-    lbl = F.col("label")
-    identity = mention_keys.select(
-        "label", "link_lang", lbl.alias("probe"),
-        F.col("link_lang").alias("probe_lang"), F.lit(0).alias("prio"))
-    lang_fb = (mention_keys.filter(F.col("link_lang") != "de")
-               .select("label", "link_lang", lbl.alias("probe"),
-                       F.lit("de").alias("probe_lang"), F.lit(1).alias("prio")))
+    # selectExpr batches + the SQL-text variation array (round 8): identical
+    # expression trees to the old Column formulation in a handful of py4j
+    # round trips instead of ~200 (guide §1.2 — probe construction is
+    # per-call fixed work inside the bench timer)
+    identity = mention_keys.selectExpr(
+        "label", "link_lang", "label AS probe",
+        "link_lang AS probe_lang", "0 AS prio")
+    lang_fb = (mention_keys.where("link_lang != 'de'")
+               .selectExpr("label", "link_lang", "label AS probe",
+                           "'de' AS probe_lang", "1 AS prio"))
     vars_ = (
         mention_keys
-        .withColumn("_vars", F.array_distinct(
-            F.filter(_variation_array(lbl), lambda v: v.isNotNull() & (v != lbl))))
+        .selectExpr("label", "link_lang",
+                    "array_distinct(filter(" + _variations_sql("label")
+                    + ", v -> v IS NOT NULL AND v != label)) AS _vars")
         .select("label", "link_lang", F.posexplode("_vars").alias("_pos", "probe"))
-        .select("label", "link_lang", "probe",
-                F.col("link_lang").alias("probe_lang"),
-                (F.col("_pos") + F.lit(2)).alias("prio"))
+        .selectExpr("label", "link_lang", "probe",
+                    "link_lang AS probe_lang", "_pos + 2 AS prio")
     )
     return identity.unionByName(lang_fb).unionByName(vars_)
 
@@ -89,19 +111,27 @@ def resolve_candidates(probes: DataFrame,
     KB page join (O-15) → completeness gate (O-11).  All dimension joins are
     broadcast: zero shuffle on the probe side.
     """
+    # expr-string join conditions + one projection per step (round 8):
+    # identical joins/columns to the old Column formulation (same EqualTo
+    # trees, same output order) in ~4x fewer py4j round trips — this runs
+    # inside the bench timer on every cold q07-q11 call (guide §1.2).
+    # Renaming k.title -> k_title makes every condition name-unambiguous so
+    # it can be ONE parsed string; the rename is dropped after the join
+    # exactly where the old code dropped k["title"].
     r = F.broadcast(redirects.withColumnRenamed("lang", "r_lang"))
     a = F.broadcast(aliases.withColumnRenamed("lang", "a_lang"))
-    k = F.broadcast(kb.withColumnRenamed("lang", "k_lang"))
+    k = F.broadcast(kb.withColumnRenamed("lang", "k_lang")
+                    .withColumnRenamed("title", "k_title"))
     return (
         probes
-        .join(r, (probes.probe == r.from_title) & (probes.probe_lang == r.r_lang), "left")
-        .withColumn("resolved", F.coalesce(F.col("to_title"), F.col("probe")))
-        .drop("from_title", "to_title", "r_lang")
-        .join(a, (F.col("resolved") == a["alias"]) & (F.col("probe_lang") == a["a_lang"]), "inner")
+        .join(r, F.expr("probe = from_title AND probe_lang = r_lang"), "left")
+        .selectExpr("label", "link_lang", "probe", "probe_lang", "prio",
+                    "coalesce(to_title, probe) AS resolved")
+        .join(a, F.expr("resolved = alias AND probe_lang = a_lang"), "inner")
         .drop("alias", "a_lang")
-        .join(k, (a["title"] == k["title"]) & (F.col("probe_lang") == k["k_lang"]), "inner")
-        .drop(k["title"]).drop("k_lang")
-        .filter(F.col("abstract").isNotNull() & (F.col("abstract") != ""))
+        .join(k, F.expr("title = k_title AND probe_lang = k_lang"), "inner")
+        .drop("k_title", "k_lang")
+        .where("abstract IS NOT NULL AND abstract != ''")
     )
 
 
@@ -154,11 +184,13 @@ def resolve_candidates_bucketed(probes: DataFrame, redirects: DataFrame,
 
 
 def pick_best(candidates: DataFrame) -> DataFrame:
-    """O-17/O-27: first-complete-hit-wins via one window; deterministic ties."""
-    w = Window.partitionBy("label", "link_lang").orderBy("prio", "alias_prio", "title")
+    """O-17/O-27: first-complete-hit-wins via one window; deterministic ties.
+    The window is one parsed OVER expression (same tree as the Column
+    formulation, ~10x fewer py4j round trips — guide §1.2)."""
     return (candidates
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            .selectExpr("*", "row_number() OVER (PARTITION BY label, link_lang "
+                             "ORDER BY prio, alias_prio, title) AS _rn")
+            .where("_rn = 1")
             .drop("_rn", "probe", "resolved", "prio", "alias_prio")
             .withColumnRenamed("probe_lang", "hit_lang"))
 

@@ -237,6 +237,17 @@ def test_variation_array_matches_refsem_on_tricky_names(spark):
     for n in names:
         assert got[n] == refsem.name_variations(n), (n, got[n], refsem.name_variations(n))
 
+    # the SQL-text twin used by probe_keys_df must produce the identical
+    # (pre-filter) array, element for element including NULL slots — it is
+    # the same expression tree parsed in one round trip
+    sql_got = {r["label"]: r["vars"] for r in df.selectExpr(
+        "label",
+        "array_distinct(filter("
+        + __import__("entity_extractor_linker_api_v2_spark.operators.linking",
+                     fromlist=["_variations_sql"])._variations_sql("label")
+        + ", v -> v IS NOT NULL AND v != label)) AS vars").collect()}
+    assert sql_got == got
+
 
 def test_ivf_topk_with_prebuilt_index_matches_inline(spark):
     """The build-once IVF index path (ivf_topk(index=...)) must return the
