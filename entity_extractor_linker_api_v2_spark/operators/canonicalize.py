@@ -31,10 +31,10 @@ from pyspark.sql import functions as F
 
 def entity_edges(entities: DataFrame) -> DataFrame:
     """Derive the resolution graph from the linked-entity table."""
-    e1 = (entities.filter(F.col("label") != F.col("label_de"))
-          .select(F.col("label").alias("a"), F.col("label_de").alias("b")))
-    e2 = (entities.filter(F.col("wikidata_id") != "")
-          .select(F.col("label_de").alias("a"), F.col("wikidata_id").alias("b")))
+    e1 = (entities.where("label != label_de")
+          .selectExpr("label AS a", "label_de AS b"))
+    e2 = (entities.where("wikidata_id != ''")
+          .selectExpr("label_de AS a", "wikidata_id AS b"))
     return e1.unionByName(e2).distinct()
 
 
@@ -113,31 +113,34 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30,
     # all_nodes is consumed ONCE, in the final left join — deriving it
     # lazily from the already-materialized e0 costs nothing per round,
     # where the old eager localCheckpoint paid a full extra job up front
-    all_nodes = (e0.select(F.col("a").alias("node"))
-                 .unionByName(e0.select(F.col("b").alias("node")))
+    all_nodes = (e0.selectExpr("a AS node")
+                 .unionByName(e0.selectExpr("b AS node"))
                  .distinct())
 
+    # round bodies are selectExpr/where strings (round 8): the Column
+    # formulation issued ~1000 py4j round trips per CC round of pure
+    # plan-build time inside the bench timer (guide §1.2); the strings
+    # parse to the identical trees.
     def star(ed: DataFrame, large: bool) -> DataFrame:
         # each step views the edge list as UNDIRECTED: symmetrize first
         # (neighbor sets are wrong otherwise — the previous step's output
         # is directed (member -> min))
-        sym = ed.unionByName(
-            ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        src = sym if large else sym.filter(F.col("b") <= F.col("a"))
-        m = (src.groupBy("a").agg(F.min("b").alias("_mn"))
-             .select("a", F.least(F.col("a"), F.col("_mn")).alias("m")))
+        sym = ed.unionByName(ed.selectExpr("b AS a", "a AS b"))
+        src = sym if large else sym.where("b <= a")
+        m = (src.groupBy("a").agg(F.expr("min(b) AS _mn"))
+             .selectExpr("a", "least(a, _mn) AS m"))
         if large:
-            out = (sym.join(m, "a").filter(F.col("b") > F.col("a"))
-                   .select(F.col("b").alias("a"), F.col("m").alias("b")))
+            out = (sym.join(m, "a").where("b > a")
+                   .selectExpr("b AS a", "m AS b"))
             # NO dedup here (round 8): the large-star output feeds ONLY the
             # small-star half of the same round, whose min-aggregate is
             # duplicate-insensitive and whose own distinct dedups the round's
             # result — the intermediate exchange bought nothing (guide §2.4)
-            return out.filter(F.col("a") != F.col("b"))
+            return out.where("a != b")
         out = (src.join(m, "a")
-               .select(F.col("b").alias("a"), F.col("m").alias("b"))
-               .unionByName(m.select("a", F.col("m").alias("b"))))
-        return out.filter(F.col("a") != F.col("b")).distinct()
+               .selectExpr("b AS a", "m AS b")
+               .unionByName(m.selectExpr("a", "m AS b")))
+        return out.where("a != b").distinct()
 
     prev_sig = None
     for _ in range(max_iter):
@@ -150,9 +153,9 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30,
             break
         prev_sig = sig
     # after convergence e is a star: (member, root); roots map to themselves
-    comps = e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+    comps = e.selectExpr("a AS node", "b AS comp")
     return (all_nodes.join(comps, "node", "left")
-            .select("node", F.coalesce("comp", "node").alias("comp")))
+            .selectExpr("node", "coalesce(comp, node) AS comp"))
 
 
 # above this many edges the hub-safe small-star/large-star formulation is
@@ -257,4 +260,4 @@ def canonical_entities(entities: DataFrame, max_iter: int = 20,
     comps = (connected_components_star(edges, assume_distinct=True)
              if algo == "star"
              else connected_components(edges, max_iter=max_iter))
-    return comps.withColumn("canonical_id", F.sha2(F.col("comp"), 256))
+    return comps.selectExpr("*", "sha2(comp, 256) AS canonical_id")

@@ -28,7 +28,9 @@ SHINGLE_W = 3       # words per shingle
 
 
 def normalized(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("_norm", F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+    return df.selectExpr(
+        "*", "trim(regexp_replace(lower(" + text_col + "), '\\\\s+', ' ')) "
+             "AS _norm")
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
@@ -88,8 +90,8 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                      F.explode(F.array_distinct(win_mins)).alias("fp"))
 
 
-def _shingles(text_col: str):
-    """3-word shingles as log-shifted zip_with concats.
+def _shingles_sql(text_col: str) -> str:
+    """3-word shingles as log-shifted zip_with concats, as SQL text.
 
     NOT the obvious transform(sequence, i -> element_at(words, i+j)): there
     the split() feeding element_at is re-inlined by CollapseProject into
@@ -97,14 +99,25 @@ def _shingles(text_col: str):
     for 3k short docs at sf0.1.  zip_with evaluates its array arguments
     once per ROW and pairs elements positionally, so this is O(words).
     Out-of-range zip_with padding (null) is dropped by the final slice;
-    concat_ws skips nulls so padded entries never corrupt kept shingles."""
-    w = F.split(F.col(text_col), " ")
-    n = F.size(w)
-    p2 = F.zip_with(w, F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
-                    lambda a, b: F.concat_ws(" ", a, b))
-    p3 = F.zip_with(p2, F.slice(w, 3, F.greatest(n - 2, F.lit(0))),
-                    lambda a, b: F.concat_ws(" ", a, b))
-    return F.slice(p3, 1, F.greatest(n - (SHINGLE_W - 1), F.lit(0)))
+    concat_ws skips nulls so padded entries never corrupt kept shingles.
+
+    SQL text (round 8): the lambda-built Column tree issued ~100 py4j
+    round trips per use — per-call plan-build time inside the bench timer
+    (guide §1.2); the string parses to the identical tree in one.  The
+    repeated split()/size() occurrences mirror the Column version exactly
+    (a reused Column object is also inlined per use site)."""
+    w = f"split({text_col}, ' ')"
+    n = f"size({w})"
+    p2 = (f"zip_with({w}, slice({w}, 2, greatest({n} - 1, 0)), "
+          "(a, b) -> concat_ws(' ', a, b))")
+    p3 = (f"zip_with({p2}, slice({w}, 3, greatest({n} - 2, 0)), "
+          "(a, b) -> concat_ws(' ', a, b))")
+    return f"slice({p3}, 1, greatest({n} - {SHINGLE_W - 1}, 0))"
+
+
+def _shingles(text_col: str):
+    """Column form of ``_shingles_sql`` (one F.expr parse)."""
+    return F.expr(_shingles_sql(text_col))
 
 
 # universal-hash family for minhash: h_i(s) = (A_i·base(s) + B_i) mod P with
@@ -132,16 +145,19 @@ def minhash_sig_array(df: DataFrame, id_col: str = "doc_id",
     winnow_fingerprints): it materializes the base-hash array ONCE per
     row — CollapseProject would otherwise re-inline the shingling + md5
     into each of the N_HASHES signature lambdas."""
-    base = F.transform(
-        _shingles(text_col),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
-    d = (df.select(F.col(id_col), F.explode(F.array(base)).alias("_bh"))
-         .filter(F.size("_bh") > 0))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            "_bh", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
-        for a, b in zip(MINHASH_A, MINHASH_B)])
-    return d.select(F.col(id_col), sig.alias("sig"))
+    # SQL text throughout (round 8): the lambda-built Column trees for the
+    # base-hash transform and the 8 affine minhash lambdas issued ~400 py4j
+    # round trips per call — per-call plan-build time inside the bench
+    # timer (guide §1.2).  `L` suffixes pin bigint literals: the products
+    # stay < 2^63 (exact, bit-identical to the Column form's lit arithmetic).
+    base = ("transform(" + _shingles_sql(text_col) + ", "
+            "s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS bigint))")
+    d = (df.selectExpr(id_col, "explode(array(" + base + ")) AS _bh")
+         .where("size(_bh) > 0"))
+    sig = "array(" + ", ".join(
+        f"array_min(transform(_bh, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+        for a, b in zip(MINHASH_A, MINHASH_B)) + ")"
+    return d.selectExpr(id_col, sig + " AS sig")
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -169,7 +185,6 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     worst case at cap² per bucket instead of m².  The cap window shuffles on
     the same (band_id, band_key) key as the join itself: no extra exchange.
     """
-    from pyspark.sql import Window
     # Band keys are derived PER ROW from the signature array (round 8):
     # band b's members are exactly sig[b*BAND_ROWS .. (b+1)*BAND_ROWS-1],
     # and md5(concat_ws('|', sort_array(slice))) equals the old
@@ -179,24 +194,23 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # shuffles outright); the first shuffle is now the bucket-cap window on
     # (band_id, band_key), the same key the pair join uses.
     sig = minhash_sig_array(df, id_col, text_col)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", F.transform(
-                F.sort_array(F.slice("sig", 1 + b * BAND_ROWS, BAND_ROWS)),
-                lambda x: x.cast("string")))).alias("band_key"))
-        for b in range(N_HASHES // BAND_ROWS)])
-    bands = (sig.select(F.col(id_col), F.explode(band_structs).alias("_b"))
-             .select(F.col(id_col), F.col("_b.band_id").alias("band_id"),
-                     F.col("_b.band_key").alias("band_key")))
+    band_structs = "array(" + ", ".join(
+        f"named_struct('band_id', {b}, 'band_key', "
+        f"md5(concat_ws('|', transform(sort_array(slice(sig, "
+        f"{1 + b * BAND_ROWS}, {BAND_ROWS})), x -> cast(x AS string)))))"
+        for b in range(N_HASHES // BAND_ROWS)) + ")"
+    bands = (sig.selectExpr(id_col, "explode(" + band_structs + ") AS _b")
+             .selectExpr(id_col, "_b.band_id AS band_id",
+                         "_b.band_key AS band_key"))
     if bucket_cap:
-        w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
-        bands = (bands.withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
-    l = bands.select(F.col(id_col).alias("a"), "band_id", "band_key")
-    r = bands.select(F.col(id_col).alias("b"), "band_id", "band_key")
+        bands = (bands.selectExpr(
+                    "*", "row_number() OVER (PARTITION BY band_id, band_key "
+                         f"ORDER BY {id_col}) AS _rn")
+                 .where(f"_rn <= {bucket_cap}").drop("_rn"))
+    l = bands.selectExpr(f"{id_col} AS a", "band_id", "band_key")
+    r = bands.selectExpr(f"{id_col} AS b", "band_id", "band_key")
     return (l.join(r, ["band_id", "band_key"])
-            .filter(F.col("a") < F.col("b"))
+            .where("a < b")
             .select("a", "b").distinct())
 
 
@@ -239,11 +253,11 @@ def simhash_bands(sh: DataFrame, id_col: str = "doc_id",
     streaming maintenance fold.  `carry` propagates extra columns (e.g. the
     simhash itself, so the streaming fold's Hamming verify needs no second
     scan of the history)."""
+    arr = "array(" + ", ".join(f"substring(simhash, {1 + 8 * b}, 8)"
+                               for b in range(SIMHASH_BANDS)) + ")"
     return sh.select(
         F.col(id_col), *[F.col(c) for c in carry],
-        F.posexplode(F.array(*[F.substring("simhash", 1 + 8 * b, 8)
-                               for b in range(SIMHASH_BANDS)]))
-        .alias("band_id", "band_key"))
+        F.posexplode(F.expr(arr)).alias("band_id", "band_key"))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
@@ -257,7 +271,6 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     (XOR + bit_count on the 32-bit value) verifies.  Same scale shape as
     MinHash-LSH: shuffle on (band_id, band_key) only, membership cap per
     bucket, pair relation is ids before the verify join-back."""
-    from pyspark.sql import Window
     if max_hamming > SIMHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming={max_hamming} breaks the pigeonhole losslessness "
@@ -278,20 +291,21 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         sh = sh.localCheckpoint()
     bands = simhash_bands(sh, id_col, carry=("simhash",))
     if bucket_cap:
-        w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
-        bands = (bands.withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
-    l = bands.select(F.col(id_col).alias("a"),
-                     F.col("simhash").alias("sim_a"), "band_id", "band_key")
-    r = bands.select(F.col(id_col).alias("b"),
-                     F.col("simhash").alias("sim_b"), "band_id", "band_key")
+        bands = (bands.selectExpr(
+                    "*", "row_number() OVER (PARTITION BY band_id, band_key "
+                         f"ORDER BY {id_col}) AS _rn")
+                 .where(f"_rn <= {bucket_cap}").drop("_rn"))
+    l = bands.selectExpr(f"{id_col} AS a", "simhash AS sim_a",
+                         "band_id", "band_key")
+    r = bands.selectExpr(f"{id_col} AS b", "simhash AS sim_b",
+                         "band_id", "band_key")
     cands = (l.join(r, ["band_id", "band_key"])
-             .filter(F.col("a") < F.col("b"))
+             .where("a < b")
              .select("a", "b", "sim_a", "sim_b").distinct())
-    ham = F.bit_count(F.conv("sim_a", 2, 10).cast("long")
-                      .bitwiseXOR(F.conv("sim_b", 2, 10).cast("long")))
-    return (cands.withColumn("hamming", ham.cast("long"))
-            .filter(F.col("hamming") <= max_hamming)
+    ham = ("cast(bit_count(cast(conv(sim_a, 2, 10) AS bigint) ^ "
+           "cast(conv(sim_b, 2, 10) AS bigint)) AS bigint)")
+    return (cands.selectExpr("*", ham + " AS hamming")
+            .where(f"hamming <= {max_hamming}")
             .select("a", "b", "hamming"))
 
 
@@ -313,8 +327,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # no LSH bucket with anything).  `need` is not deduped: a left-semi
     # probe side tolerates duplicate keys, so the distinct exchange bought
     # nothing (guide §2.4 — distinct on data used only as a semi filter).
-    need = (cands.select(F.col("a").alias(id_col))
-            .unionByName(cands.select(F.col("b").alias(id_col))))
+    need = (cands.selectExpr(f"a AS {id_col}")
+            .unionByName(cands.selectExpr(f"b AS {id_col}")))
     # per-doc DISTINCT shingle set, kept as ONE array row per doc (round 8):
     # shingles only repeat within a document, so array_distinct per row is
     # the whole dedup.  The set stays un-exploded — intersection and union
@@ -325,8 +339,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # Shuffled bytes per pair participation are the same either way — the
     # doc's shingle set travels once per side — just in one row, not |sh|.
     sh = (df.join(need, id_col, "left_semi")
-          .select(F.col(id_col),
-                  F.array_distinct(_shingles(text_col)).alias("_sh"))
+          .selectExpr(id_col, "array_distinct(" + _shingles_sql(text_col)
+                      + ") AS _sh")
           .localCheckpoint())
     # exact Jaccard per candidate pair: |A∩B| via array_intersect over the
     # distinct sets — identical counts to the old (b, shingle) equi-join +
@@ -334,14 +348,13 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # distinct-shingle counts.  `inter > 0` keeps the old inner-join
     # semantics (zero-overlap pairs never surfaced) for ANY threshold.
     return (cands
-            .join(sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha")), "a")
-            .join(sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb")), "b")
-            .withColumn("inter", F.size(F.array_intersect("_sha", "_shb")))
-            .filter(F.col("inter") > 0)
-            .withColumn("jaccard", F.round(
-                F.col("inter")
-                / (F.size("_sha") + F.size("_shb") - F.col("inter")), 4))
-            .filter(F.col("jaccard") >= threshold)
+            .join(sh.selectExpr(f"{id_col} AS a", "_sh AS _sha"), "a")
+            .join(sh.selectExpr(f"{id_col} AS b", "_sh AS _shb"), "b")
+            .selectExpr("*", "size(array_intersect(_sha, _shb)) AS inter")
+            .where("inter > 0")
+            .selectExpr("*", "round(inter / (size(_sha) + size(_shb) - inter),"
+                             " 4) AS jaccard")
+            .where(f"jaccard >= {threshold!r}D")
             .select("a", "b", "jaccard"))
 
 
@@ -370,25 +383,24 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
     # (ids are unique, so rank-1-per-fp rows ARE the winner ids the old
     # semi-join-back selected) — one window exchange instead of
     # fingerprint-scan + window + join-back.
-    from pyspark.sql import Window
-    quality_keep = ((F.size(F.split(F.lower(text_col), " ")) >= 10)
-                    & (F.length(text_col) >= 50))
-    w = Window.partitionBy("_fp").orderBy(id_col)
     # each curation stage is a materialization boundary (localCheckpoint
     # here; StageCheckpoint parquet at cluster scale): the exact-dedup
     # survivors feed the LSH chain FOUR times (minhash, candidate
     # semi-join, shingle sides) plus the final anti-join — recomputing the
     # quality+window lineage per consumer cost 29.5 s vs 9 s at sf0.1
-    kept = (normalized(df.filter(quality_keep), text_col)
-            .withColumn("_fp", F.md5("_norm"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+    kept = (normalized(
+                df.where(f"size(split(lower({text_col}), ' ')) >= 10 "
+                         f"AND length({text_col}) >= 50"), text_col)
+            .selectExpr("*", "md5(_norm) AS _fp")
+            .selectExpr("*", "row_number() OVER (PARTITION BY _fp "
+                             f"ORDER BY {id_col}) AS _rn")
+            .where("_rn = 1")
             .drop("_fp", "_rn", "_norm")
             .localCheckpoint())
     drop = (jaccard_pairs(kept, id_col, text_col, threshold=jaccard_threshold)
-            .select(F.col("b").alias(id_col)).distinct())
+            .selectExpr(f"b AS {id_col}").distinct())
     return (kept.join(drop, id_col, "left_anti")
-            .select(F.col(id_col),
-                    F.length(text_col).cast("long").alias("n_chars"),
-                    F.size(F.split(F.col(text_col), " ")).cast("long")
-                    .alias("n_tokens")))
+            .selectExpr(id_col,
+                        f"cast(length({text_col}) AS bigint) AS n_chars",
+                        f"cast(size(split({text_col}, ' ')) AS bigint) "
+                        "AS n_tokens"))

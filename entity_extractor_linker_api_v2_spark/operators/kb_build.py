@@ -36,40 +36,43 @@ KB_COLS = ["title", "lang", "title_other", "abstract", "wikidata_id",
 
 
 def kb_build(raw_pages: DataFrame, broadcast_partner: bool = True) -> DataFrame:
-    """raw payload rows → KB pages (KB_COLS + abstract_other)."""
-    strip_cat = lambda c: F.replace(F.replace(c, F.lit("Category:"), F.lit("")),
-                                    F.lit("Kategorie:"), F.lit(""))
+    """raw payload rows → KB pages (KB_COLS + abstract_other).
+
+    Built as selectExpr batches + one expr-string join condition (round 8):
+    the same expression trees as the old Column formulation in a handful of
+    py4j round trips instead of ~300 (guide §1.2 — this constructs inside
+    the bench timer on every q44 call)."""
     pages = (
         raw_pages
-        .filter((F.col("page_id") >= 0)
-                & F.col("title").isNotNull()
-                & (F.trim(F.col("title")) != ""))
-        .select(
-            F.trim(F.col("title")).alias("title"),
+        .where("page_id >= 0 AND title IS NOT NULL AND trim(title) != ''")
+        .selectExpr(
+            "trim(title) AS title",
             "lang",
-            F.nullif(F.trim(F.coalesce(F.col("extract"), F.lit(""))), F.lit(""))
-             .alias("abstract"),
-            F.col("wikibase_item").alias("wikidata_id"),
-            F.transform("categories_raw", strip_cat).alias("categories"),
-            F.col("links_raw").alias("internal_links"),
-            F.col("infobox").alias("infobox_type"),
-            F.col("coord_lat").alias("geo_lat"),
-            F.col("coord_lon").alias("geo_lon"),
-            F.col("thumbnail_source").alias("thumbnail_url"),
+            "nullif(trim(coalesce(extract, '')), '') AS abstract",
+            "wikibase_item AS wikidata_id",
+            "transform(categories_raw, c -> "
+            "replace(replace(c, 'Category:', ''), 'Kategorie:', '')) "
+            "AS categories",
+            "links_raw AS internal_links",
+            "infobox AS infobox_type",
+            "coord_lat AS geo_lat",
+            "coord_lon AS geo_lon",
+            "thumbnail_source AS thumbnail_url",
             "instance_of", "subclass_of", "part_of", "has_part",
             "langlink_lang", "langlink_title",
         ))
-    partner = pages.select(F.col("title").alias("p_title"),
-                           F.col("lang").alias("p_lang"),
-                           F.col("abstract").alias("abstract_other"))
+    partner = pages.selectExpr("title AS p_title", "lang AS p_lang",
+                               "abstract AS abstract_other")
     if broadcast_partner:
         partner = F.broadcast(partner)
     return (pages
-            .join(partner, (pages.langlink_title == partner.p_title)
-                  & (pages.langlink_lang == partner.p_lang), "left")
-            .withColumn("title_other", F.col("p_title"))
-            .drop("p_title", "p_lang", "langlink_lang", "langlink_title")
-            .select(*KB_COLS, "abstract_other"))
+            .join(partner, F.expr("langlink_title = p_title "
+                                  "AND langlink_lang = p_lang"), "left")
+            .selectExpr("title", "lang", "p_title AS title_other", "abstract",
+                        "wikidata_id", "categories", "internal_links",
+                        "infobox_type", "geo_lat", "geo_lon", "thumbnail_url",
+                        "instance_of", "subclass_of", "part_of", "has_part",
+                        "abstract_other"))
 
 
 def kb_aliases(kb: DataFrame) -> DataFrame:

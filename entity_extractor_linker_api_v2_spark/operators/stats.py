@@ -46,32 +46,35 @@ def top10_all(entities: DataFrame) -> DataFrame:
     from . import triples as TR
 
     def tag(key, arr):
-        return F.transform(arr, lambda x: F.struct(
-            F.lit(key).alias("stat_key"), x.alias("item")))
+        return ("transform(" + arr + ", x -> named_struct("
+                "'stat_key', '" + key + "', 'item', x))")
 
     # `predicates` items are derived PER ENTITY from the same triple-struct
     # array emit_triples explodes (triples are emitted 1:1 from entity
     # rows), so the whole 8-key relation is ONE explode over ONE scan of
     # the entity relation — the old shape unioned a second full triples
     # subtree over the same cached scan (guide §2.4: one pass, not two).
-    pairs = F.concat(
-        tag("wikipedia_categories", F.col("categories")),
-        tag("wikipedia_internal_links", F.col("internal_links")),
-        tag("wikidata_instance_of", F.col("instance_of")),
-        tag("wikidata_type", F.slice(F.col("instance_of"), 1, 1)),
-        tag("wikidata_subclass_of", F.col("subclass_of")),
-        tag("wikidata_part_of", F.col("part_of")),
-        tag("wikidata_has_part", F.col("has_part")),
-        F.transform(TR.triple_structs(entities), lambda t: F.struct(
-            F.lit("predicates").alias("stat_key"), t["pred"].alias("item"))),
-    )
-    ent_pairs = entities.select(F.explode(pairs).alias("p")).select("p.*")
-    from pyspark.sql import Window
-    w = Window.partitionBy("stat_key").orderBy(F.desc("cnt"), "item")
+    # All of it is SQL text parsed in one round trip (round 8, guide §1.2 —
+    # the lambda-built Column trees cost ~1700 py4j calls per q16 call).
+    pairs = ", ".join([
+        tag("wikipedia_categories", "categories"),
+        tag("wikipedia_internal_links", "internal_links"),
+        tag("wikidata_instance_of", "instance_of"),
+        tag("wikidata_type", "slice(instance_of, 1, 1)"),
+        tag("wikidata_subclass_of", "subclass_of"),
+        tag("wikidata_part_of", "part_of"),
+        tag("wikidata_has_part", "has_part"),
+        "transform(" + TR.TRIPLE_STRUCTS_SQL + ", t -> named_struct("
+        "'stat_key', 'predicates', 'item', t.pred))",
+    ])
+    ent_pairs = (entities
+                 .selectExpr("explode(concat(" + pairs + ")) AS p")
+                 .selectExpr("p.*"))
     return (ent_pairs
             .groupBy("stat_key", "item").agg(F.count("*").alias("cnt"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 10)
+            .selectExpr("*", "row_number() OVER (PARTITION BY stat_key "
+                             "ORDER BY cnt DESC, item) AS rnk")
+            .where("rnk <= 10")
             .select("stat_key", "item", "cnt", "rnk"))
 
 
@@ -107,8 +110,8 @@ def statistics_envelope(entities: DataFrame) -> DataFrame:
     wd = F.when(F.col("wikidata_id") != "", 1).otherwise(0)
     return entities.agg(
         F.count("*").alias("total_entities"),
-        F.coalesce(F.sum(F.size(TR.triple_structs(entities))), F.lit(0))
-         .alias("total_relationships"),
+        F.coalesce(F.sum(F.expr("size(" + TR.TRIPLE_STRUCTS_SQL + ")")),
+                   F.lit(0)).alias("total_relationships"),
         F.sum(F.when(F.col("extract") != "", 1).otherwise(0)).alias("qa_pairs"),
         F.sum(wiki).alias("linked_wikipedia"),
         F.sum(wd).alias("linked_wikidata"),

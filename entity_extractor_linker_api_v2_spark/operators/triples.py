@@ -54,14 +54,37 @@ def triple_structs(entities: DataFrame):
     )
 
 
+# SQL-text twin of ``triple_structs`` (round 8): parses to the identical
+# expression tree in ONE py4j round trip — the lambda-built Column version
+# issued ~600 calls of pure plan-construction time per use inside the bench
+# timer (guide §1.2).  Equality is pytest-asserted against the Column twin.
+_EMPTY_PO = "cast(array() as array<struct<pred:string,obj:string>>)"
+_PO = "named_struct('pred', '{p}', 'obj', {o})".format
+TRIPLE_STRUCTS_SQL = (
+    "concat("
+    "array(" + _PO(p="instance_of", o="type") + "), "
+    "CASE WHEN wikidata_id != '' THEN array("
+    + _PO(p="same_as", o="wikidata_id") + ") ELSE " + _EMPTY_PO + " END, "
+    "CASE WHEN dbpedia_uri != '' THEN array("
+    + _PO(p="same_as", o="dbpedia_uri") + ") ELSE " + _EMPTY_PO + " END, "
+    "transform(categories, c -> " + _PO(p="has_category", o="c") + "), "
+    "transform(internal_links, x -> " + _PO(p="links_to", o="x") + "), "
+    "transform(part_of, x -> " + _PO(p="part_of", o="x") + "), "
+    "transform(has_part, x -> " + _PO(p="has_part", o="x") + "), "
+    "CASE WHEN geo_lat IS NOT NULL AND geo_lon IS NOT NULL THEN array("
+    + _PO(p="located_at", o="concat(cast(geo_lat as string), ',', "
+                            "cast(geo_lon as string))")
+    + ") ELSE " + _EMPTY_PO + " END)")
+
+
 def emit_triples(entities: DataFrame) -> DataFrame:
     """Single-pass emission: per entity build an array<struct<pred,obj>> and
     explode once.  (A 6-way union of filtered selects would re-scan — and at
     100 TB re-COMPUTE — the entity table six times; this is one scan.)"""
-    arr = triple_structs(entities)
     return (entities
-            .select("url", F.col("label_de").alias("subj"), F.explode(arr).alias("t"))
-            .select("url", "subj", F.col("t.pred").alias("pred"), F.col("t.obj").alias("obj")))
+            .selectExpr("url", "label_de AS subj",
+                        "explode(" + TRIPLE_STRUCTS_SQL + ") AS t")
+            .selectExpr("url", "subj", "t.pred AS pred", "t.obj AS obj"))
 
 
 def nodes_table(entities: DataFrame) -> DataFrame:

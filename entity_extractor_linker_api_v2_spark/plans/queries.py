@@ -371,11 +371,11 @@ def _dedup_corpus(spark, sf_dir):
     minhash/simhash chains onto 3 tasks; repartitioning each branch instead
     would pay three exchanges for the same spread."""
     d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = (d.filter(F.col("doc_id") % 10 == 0)
-             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    near = (d.filter(F.col("doc_id") % 7 == 0)
-            .select((F.col("doc_id") + 200000).alias("doc_id"),
-                    F.concat(F.col("text"), F.lit(" zusatz anhang")).alias("text")))
+    exact = (d.where("doc_id % 10 = 0")
+             .selectExpr("doc_id + 100000 AS doc_id", "text"))
+    near = (d.where("doc_id % 7 = 0")
+            .selectExpr("doc_id + 200000 AS doc_id",
+                        "concat(text, ' zusatz anhang') AS text"))
     out = d.unionByName(exact).unionByName(near)
     if tables.small_input(sf_dir, "documents"):
         out = out.repartition(spark.sparkContext.defaultParallelism)
@@ -645,22 +645,24 @@ def q_kb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures import raw_pages_df
     from ..operators.kb_build import kb_build
     kb = kb_build(raw_pages_df(spark))
-    return kb.select(
+    # one parsed selectExpr (round 8): same trees as the Column chain,
+    # ~15x fewer py4j round trips of per-call build time (guide §1.2)
+    return kb.selectExpr(
         "title", "lang",
-        F.coalesce("title_other", F.lit("")).alias("title_other"),
-        F.coalesce("abstract", F.lit("")).alias("abstract"),
-        F.coalesce("wikidata_id", F.lit("")).alias("wikidata_id"),
-        _arr_str(F.col("categories")).alias("categories_str"),
-        _arr_str(F.col("internal_links")).alias("links_str"),
-        F.coalesce("infobox_type", F.lit("")).alias("infobox_type"),
-        F.col("geo_lat").cast("string").alias("geo_lat_str"),
-        F.col("geo_lon").cast("string").alias("geo_lon_str"),
-        F.coalesce("thumbnail_url", F.lit("")).alias("thumbnail_url"),
-        _arr_str(F.col("instance_of")).alias("instance_str"),
-        _arr_str(F.col("subclass_of")).alias("subclass_str"),
-        _arr_str(F.col("part_of")).alias("part_of_str"),
-        _arr_str(F.col("has_part")).alias("has_part_str"),
-        F.coalesce("abstract_other", F.lit("")).alias("abstract_other"))
+        "coalesce(title_other, '') AS title_other",
+        "coalesce(abstract, '') AS abstract",
+        "coalesce(wikidata_id, '') AS wikidata_id",
+        "array_join(categories, '|') AS categories_str",
+        "array_join(internal_links, '|') AS links_str",
+        "coalesce(infobox_type, '') AS infobox_type",
+        "cast(geo_lat AS string) AS geo_lat_str",
+        "cast(geo_lon AS string) AS geo_lon_str",
+        "coalesce(thumbnail_url, '') AS thumbnail_url",
+        "array_join(instance_of, '|') AS instance_str",
+        "array_join(subclass_of, '|') AS subclass_str",
+        "array_join(part_of, '|') AS part_of_str",
+        "array_join(has_part, '|') AS has_part_str",
+        "coalesce(abstract_other, '') AS abstract_other")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,11 +63,11 @@ def scan_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _sentence_case_col():
-    """Per-doc fixture sentence as ONE parsed SQL CASE expression.  The old
+def _sentence_case_sql() -> str:
+    """Per-doc fixture sentence as ONE SQL CASE expression string.  The old
     py4j when-chain cost ~20 JVM round-trips per docs_table call (~150 ms of
     pure plan-build time paid by every docs-derived query); a single
-    F.expr string is one round-trip for the identical expression tree.
+    parsed string is one round-trip for the identical expression tree.
     The sentences contain no quote characters (asserted), so the literal
     embedding is exact."""
     n = len(fixtures.SENTENCES)
@@ -75,7 +75,7 @@ def _sentence_case_col():
     branches = " ".join(
         f"WHEN doc_id % {n} = {i} THEN '{s}'"
         for i, s in enumerate(fixtures.SENTENCES))
-    return F.expr(f"CASE {branches} END")
+    return f"CASE {branches} END"
 
 
 def docs_table(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFrame:
@@ -123,22 +123,22 @@ def replicate_documents(documents: DataFrame, k: int, heavy: int = 1) -> DataFra
 
 
 def derive_docs(d: DataFrame, with_html: bool = True) -> DataFrame:
-    body = F.concat(
-        F.col("text"), F.lit(" "), _sentence_case_col(),
-        F.when(F.col("doc_id") % 2 == 0, F.lit(" " + fixtures.SKEW_SENTENCE)).otherwise(F.lit("")),
-    )
-    # ONE select for all derived columns (not a withColumn chain): each
-    # withColumn is a separate analysis pass plus py4j round-trip — pure
-    # plan-build cost paid by every docs-derived query (guide §1.2 order:
-    # this is per-call fixed overhead, measured ~0.3 s/call at the bench).
-    out = d.select(
+    # ONE selectExpr batch for all derived columns (round 8: SQL text, not
+    # Column trees — each Column op is 2-5 py4j round-trips in Spark 4 and
+    # this chain measured ~250-390 calls per docs_table call, pure
+    # plan-build cost paid by every docs-derived query; the strings below
+    # parse to the identical expression trees in ONE round trip each —
+    # guide §1.2 order: this is per-call fixed overhead).
+    out = d.selectExpr(
         "*",
-        F.concat(F.lit("https://test.example/"), F.col("lang"),
-                 F.lit("/doc"), F.lpad(F.col("doc_id").cast("string"),
-                                       fixtures.URL_ID_DIGITS, "0")).alias("url"),
-        F.expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)").alias("warc_ts"),
-        body.alias("body_text"),
-        F.when(F.col("lang") == "de", F.lit("de")).otherwise(F.lit("en")).alias("link_lang"),
+        "concat('https://test.example/', lang, '/doc', "
+        f"lpad(cast(doc_id AS string), {fixtures.URL_ID_DIGITS}, '0')) AS url",
+        "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)"
+        " AS warc_ts",
+        "concat(text, ' ', " + _sentence_case_sql() + ", "
+        f"CASE WHEN doc_id % 2 = 0 THEN ' {fixtures.SKEW_SENTENCE}' "
+        "ELSE '' END) AS body_text",
+        "CASE WHEN lang = 'de' THEN 'de' ELSE 'en' END AS link_lang",
     )
     if with_html:
         # native mirror of refsem.render_html: minimal invertible escaping of
@@ -150,15 +150,12 @@ def derive_docs(d: DataFrame, with_html: bool = True) -> DataFrame:
         # corpus that is ~20 GB of string churn removed from the timed
         # generation stage (guide §1.2: per-task work).  body_text is a
         # plain attribute, so its duplication across the branches is free.
-        bt = F.col("body_text")
-        escaped = F.when(
-            bt.contains("&") | bt.contains("<") | bt.contains(">"),
-            F.replace(F.replace(F.replace(bt, F.lit("&"), F.lit("&amp;")),
-                                F.lit("<"), F.lit("&lt;")),
-                      F.lit(">"), F.lit("&gt;"))).otherwise(bt)
-        out = out.withColumn(
-            "html",
-            F.encode(F.concat(F.lit(refsem._HTML_PRE), escaped,
-                              F.lit(refsem._HTML_POST)), "UTF-8"),
-        )
+        out = out.selectExpr(
+            "*",
+            "encode(concat('" + refsem._HTML_PRE + "', "
+            "CASE WHEN contains(body_text, '&') OR contains(body_text, '<') "
+            "OR contains(body_text, '>') THEN "
+            "replace(replace(replace(body_text, '&', '&amp;'), "
+            "'<', '&lt;'), '>', '&gt;') ELSE body_text END, '"
+            + refsem._HTML_POST + "'), 'UTF-8') AS html")
     return out

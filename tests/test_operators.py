@@ -249,6 +249,22 @@ def test_variation_array_matches_refsem_on_tricky_names(spark):
     assert sql_got == got
 
 
+def test_triple_structs_sql_twin_matches_column_twin(spark):
+    """TRIPLE_STRUCTS_SQL (the one-parse construction q12/q15/q16 use) must
+    produce the identical per-entity edge array as the Column-built
+    triple_structs, element for element, over the real entity relation."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_linker_api_v2_spark.operators import triples as TR
+    from entity_extractor_linker_api_v2_spark.plans.queries import _entities
+
+    e = _entities(spark, "/root/testdata/sf0.001")
+    col_rows = e.select("url", "label", TR.triple_structs(e).alias("arr")).collect()
+    sql_rows = e.select("url", "label",
+                        F.expr(TR.TRIPLE_STRUCTS_SQL).alias("arr")).collect()
+    assert sorted(map(tuple, col_rows)) == sorted(map(tuple, sql_rows))
+
+
 def test_ivf_topk_with_prebuilt_index_matches_inline(spark):
     """The build-once IVF index path (ivf_topk(index=...)) must return the
     same top-k as the inline recompute."""
