@@ -91,17 +91,56 @@ def _norm(vec_col):
 # results are bit-identical (oracle-hash-checked via q28/q29/q30/q50).
 
 
-def _dot_sql(col: str, const: list[float]):
+def _dot_sql_str(col: str, const: list[float]) -> str:
     arr = ",".join(f"{float(x)!r}D" for x in const)
-    return F.expr(
-        f"aggregate(zip_with({col}, array({arr}), "
-        f"(a, b) -> cast(a as double) * b), 0.0D, (acc, x) -> acc + x)")
+    return (f"aggregate(zip_with({col}, array({arr}), "
+            f"(a, b) -> cast(a as double) * b), 0.0D, (acc, x) -> acc + x)")
+
+
+def _dot_sql(col: str, const: list[float]):
+    return F.expr(_dot_sql_str(col, const))
+
+
+def _norm_sql_str(col: str) -> str:
+    return (f"sqrt(aggregate({col}, 0.0D, "
+            f"(acc, x) -> acc + cast(x as double) * cast(x as double)))")
 
 
 def _norm_sql(col: str):
-    return F.expr(
-        f"sqrt(aggregate({col}, 0.0D, "
-        f"(acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    return F.expr(_norm_sql_str(col))
+
+
+def _matrix_sql(cents: list[tuple[int, list[float]]]) -> tuple[str, str]:
+    """(cmat, cids) as SQL array literals — F.lit of a nested K×dim python
+    list builds the literal ELEMENT-WISE over py4j (~1000+ round trips for
+    16×64; the bulk of q49-q52's measured 4.7k-16.9k construction calls);
+    one parsed string is one round trip for the identical nested
+    array<array<double>> / array<int> literals."""
+    cmat = "array(" + ", ".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")"
+        for _, cv in cents) + ")"
+    cids = "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    return cmat, cids
+
+
+def _argmin_sql(vec_col: str, cents: list[tuple[int, list[float]]],
+                measure_sql) -> str:
+    """SQL text of the per-row argmin struct over literal centroids — the
+    string twin of ``_argmin_centroid`` (same zip_with over ONE nested
+    matrix literal, same (measure, centroid_id) struct order, same
+    array_min tie-break).  ``measure_sql(vec, cvec)`` returns the measure
+    expression text (ascending-better)."""
+    cmat, cids = _matrix_sql(cents)
+    return ("array_min(zip_with(" + cmat + ", " + cids + ", (cv, cid) -> "
+            "named_struct('m', " + measure_sql(vec_col, "cv") + ", "
+            "'centroid_id', cast(cid AS bigint))))")
+
+
+def _neg_dot_sql(vec: str, cvec: str) -> str:
+    """String twin of ``_neg_dot_lit`` (negated HOF dot; negation of a
+    double is exact)."""
+    return ("-aggregate(zip_with(" + vec + ", " + cvec + ", "
+            "(a, b) -> cast(a as double) * b), 0.0D, (acc, x) -> acc + x)")
 
 
 def brute_force_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
@@ -109,10 +148,11 @@ def brute_force_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
     import math
     q = query_vector()
     qn = math.sqrt(sum(x * x for x in q))
-    score = _dot_sql(vec_col, q) / (_norm_sql(vec_col) * F.lit(qn))
-    return (df.select(F.col(id_col), score.alias("_s"))
+    score = (_dot_sql_str(vec_col, q)
+             + f" / ({_norm_sql_str(vec_col)} * {float(qn)!r}D)")
+    return (df.selectExpr(id_col, score + " AS _s")
             .orderBy(F.desc("_s"), id_col).limit(k)
-            .select(id_col, F.round("_s", 3).alias("cosine")))
+            .selectExpr(id_col, "round(_s, 3) AS cosine"))
 
 
 def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
@@ -128,9 +168,9 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
     # family — the legacy family has only 6 distinct members (period 7)
     planes = ([hyperplane(j) for j in range(min(n_planes, N_PLANES))]
               + [extended_plane(j) for j in range(N_PLANES, n_planes)])
-    bits = [F.when(F.round(_dot_sql(vec_col, p), 6) >= 0, F.lit("1"))
-            .otherwise(F.lit("0")) for p in planes]
-    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    bits = [f"CASE WHEN round({_dot_sql_str(vec_col, p)}, 6) >= 0 "
+            "THEN '1' ELSE '0' END" for p in planes]
+    return df.selectExpr(id_col, "concat(" + ", ".join(bits) + ") AS bucket")
 
 
 N_CENTROIDS = 16
@@ -211,16 +251,17 @@ def ivf_assign(df: DataFrame, id_col: str = "vec_id",
     (zip_with + sequential aggregate) is kept bit-identical for oracle
     float parity."""
     c = centroids if centroids is not None else default_centroids(df, id_col, vec_col)
-    m, cid = _argmin_centroid(vec_col, _collect_centroids(c), _neg_dot_lit)
+    best = _argmin_sql(vec_col, _collect_centroids(c), _neg_dot_sql)
     # explode(array(...)) Generate barrier: the projection reads BOTH fields
     # of the argmin struct, and interpreted HOF chains get no common-
     # subexpression elimination — without the barrier the full K-dot scan
     # runs twice per row (CollapseProject re-inlines it into each field
-    # reference; same trick as dedup.minhash_signatures)
-    best = F.explode(F.array(F.struct(m.alias("m"), cid.alias("centroid_id"))))
-    return (df.select(F.col(id_col), best.alias("_b"))
-            .select(F.col(id_col), F.col("_b.centroid_id").alias("centroid_id"),
-                    F.round(-F.col("_b.m"), 3).alias("centroid_dot")))
+    # reference; same trick as dedup.minhash_signatures).  The exploded
+    # struct IS the argmin struct (fields m, centroid_id) — identical
+    # values to the old rewrapped struct, one array_min in the tree.
+    return (df.selectExpr(id_col, "explode(array(" + best + ")) AS _b")
+            .selectExpr(id_col, "_b.centroid_id AS centroid_id",
+                        "round(-_b.m, 3) AS centroid_dot"))
 
 
 def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
@@ -250,7 +291,7 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
         # Project the index to (id, centroid_id) first — a save_ivf_index
         # table also carries the vector column, which would make the score's
         # embedding reference ambiguous after the join
-        best_c = (cents.withColumn("_qd", _dot(F.col("cvec"), q))
+        best_c = (cents.selectExpr("*", _dot_sql_str("cvec", q) + " AS _qd")
                   .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
                   .select("centroid_id"))
         probed = (df.join(index.select(id_col, "centroid_id"), id_col)
@@ -276,9 +317,11 @@ def ivf_topk(df: DataFrame, k: int = 10, id_col: str = "vec_id",
 
         probe_ids = [cid0 for _, cid0 in sorted(
             ((-_pydot(cv), cid0) for cid0, cv in clist))][:nprobe]
-        _, cid = _argmin_centroid(vec_col, clist, _neg_dot_lit)
-        probed = (df.withColumn("centroid_id", cid)
-                  .filter(F.col("centroid_id").isin(probe_ids)))
+        best = _argmin_sql(vec_col, clist, _neg_dot_sql)
+        probed = (df.selectExpr("*", best + ".centroid_id AS centroid_id")
+                  .where("centroid_id IN ("
+                         + ",".join(str(int(p)) for p in probe_ids) + ")"
+                         if probe_ids else "false"))
     return (probed
             .select(F.col(id_col), score.alias("_s"))
             .orderBy(F.desc("_s"), id_col).limit(k)
@@ -301,8 +344,9 @@ def save_ivf_index(df: DataFrame, table: str, id_col: str = "vec_id",
     the index files, no join, no shuffle — at 10¹² vectors that is the
     difference between scanning TBs and scanning GBs."""
     c = centroids if centroids is not None else default_centroids(df, id_col, vec_col)
-    _, cid = _argmin_centroid(vec_col, _collect_centroids(c), _neg_dot_lit)
-    indexed = df.select(F.col(id_col), F.col(vec_col), cid.alias("centroid_id"))
+    best = _argmin_sql(vec_col, _collect_centroids(c), _neg_dot_sql)
+    indexed = df.selectExpr(id_col, vec_col,
+                            best + ".centroid_id AS centroid_id")
     # persist the centroid dimension beside the index: probes rank against
     # it directly instead of re-scanning the full index per query
     cw = c.write.mode("overwrite").format("parquet")
@@ -381,10 +425,10 @@ def ivf_topk_indexed(spark, table: str, k: int = 10, id_col: str = "vec_id",
     c = centroids if centroids is not None \
         else s2.table(f"{table}_centroids")
     probe_ids = [r["centroid_id"] for r in
-                 (c.withColumn("_qd", _dot(F.col("cvec"), q))
+                 (c.selectExpr("*", _dot_sql_str("cvec", q) + " AS _qd")
                   .orderBy(F.desc("_qd"), "centroid_id").limit(nprobe)
                   .select("centroid_id").collect())]
-    score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    score = _dot_sql(vec_col, q) / (_norm_sql(vec_col) * F.lit(qn))
     out = (idx.filter(F.col("centroid_id").isin(probe_ids))
            .select(F.col(id_col), score.alias("_s"))
            .orderBy(F.desc("_s"), id_col).limit(k)
@@ -429,29 +473,35 @@ def _kmeans(df: DataFrame, k: int, iters: int, id_col: str, vec_col: str):
     The new means (k×DIM doubles) are collected to the driver between
     iterations and re-inlined as literals — exact values, so the unrolled
     DuckDB oracle stays float-identical."""
-    def dist2(vec, cvec):
-        return F.aggregate(F.zip_with(vec, cvec,
-                                      lambda a, b: (a.cast("double") - b) *
-                                                   (a.cast("double") - b)),
-                           F.lit(0.0), lambda acc, x: acc + x)
+    def dist2_sql(vec: str, cvec: str) -> str:
+        return ("aggregate(zip_with(" + vec + ", " + cvec + ", "
+                "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)"
+                "), 0.0D, (acc, x) -> acc + x)")
 
     assigned = None
-    cents_df = (df.filter(F.col(id_col) < k)
-                .select(F.col(id_col).alias("cluster"),
-                        F.transform(vec_col, lambda x: x.cast("double")).alias("cvec")))
+    cents_df = (df.where(f"{id_col} < {int(k)}")
+                .selectExpr(f"{id_col} AS cluster",
+                            f"transform({vec_col}, x -> cast(x AS double)) "
+                            "AS cvec"))
     for _ in range(iters):
         cents = _collect_centroids(
-            cents_df.select(F.col("cluster").alias("centroid_id"), "cvec"))
-        _, cid = _argmin_centroid(vec_col, cents, dist2)
-        assigned = df.select(F.col(id_col), F.col(vec_col), cid.alias("cluster"))
+            cents_df.selectExpr("cluster AS centroid_id", "cvec"))
+        best = _argmin_sql(vec_col, cents, dist2_sql)
+        assigned = df.selectExpr(id_col, vec_col,
+                                 best + ".centroid_id AS cluster")
         # per-dimension means -> rebuilt centroid arrays: dim avg() columns
-        # in one hash aggregate (map-side combine), zero explode
+        # in one hash aggregate (map-side combine), zero explode; the agg
+        # measures are parsed expr strings (the 2×64 Column builds per
+        # iteration were most of q51's 16.9k construction round trips)
         cents_df = (assigned
                     .groupBy("cluster")
-                    .agg(*[F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
-                           .alias(f"_m{i}") for i in range(DIM)])
-                    .select("cluster",
-                            F.array(*[F.col(f"_m{i}") for i in range(DIM)]).alias("cvec")))
+                    .agg(*[F.expr(f"avg(cast(element_at({vec_col}, {i + 1}) "
+                                  f"AS double)) AS _m{i}")
+                           for i in range(DIM)])
+                    .selectExpr("cluster",
+                                "array(" + ",".join(f"_m{i}"
+                                                    for i in range(DIM))
+                                + ") AS cvec"))
     return assigned, cents_df
 
 
@@ -508,27 +558,26 @@ def neardup_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     ≈ TARGET_BUCKET at any scale instead of degrading toward n²/2^bits; at
     the sf-scale corpora the derivation lands on the historical
     NEARDUP_BITS=4 the static oracle pins."""
-    from pyspark.sql import Window
     if bits is None:
         bits = derived_bits(_approx_n(df, id_col))
 
     def bucket_str(t):
-        bs = [F.when(F.round(_dot_sql(vec_col, p), 6) >= 0,
-                     F.lit("1")).otherwise(F.lit("0"))
-              for p in _table_planes(t, bits)]
-        return F.concat(*bs)
+        bs = [f"CASE WHEN round({_dot_sql_str(vec_col, p)}, 6) >= 0 "
+              "THEN '1' ELSE '0' END" for p in _table_planes(t, bits)]
+        return "concat(" + ", ".join(bs) + ")"
 
+    arr = "array(" + ", ".join(bucket_str(t) for t in range(n_tables)) + ")"
     tb = df.select(F.col(id_col),
-                   F.posexplode(F.array(*[bucket_str(t) for t in range(n_tables)]))
-                   .alias("table_id", "bucket"))
+                   F.posexplode(F.expr(arr)).alias("table_id", "bucket"))
     if bucket_cap:
-        w = Window.partitionBy("table_id", "bucket").orderBy(id_col)
-        tb = (tb.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
-    l = tb.select(F.col(id_col).alias("a"), "table_id", "bucket")
-    r = tb.select(F.col(id_col).alias("b"), "table_id", "bucket")
+        tb = (tb.selectExpr(
+                 "*", "row_number() OVER (PARTITION BY table_id, bucket "
+                      f"ORDER BY {id_col}) AS _rn")
+              .where(f"_rn <= {int(bucket_cap)}").drop("_rn"))
+    l = tb.selectExpr(f"{id_col} AS a", "table_id", "bucket")
+    r = tb.selectExpr(f"{id_col} AS b", "table_id", "bucket")
     return (l.join(r, ["table_id", "bucket"])
-            .filter(F.col("a") < F.col("b"))
+            .where("a < b")
             .select("a", "b").distinct())
 
 

@@ -78,19 +78,27 @@ def top10_all(entities: DataFrame) -> DataFrame:
             .select("stat_key", "item", "cnt", "rnk"))
 
 
+_WIKI_1 = "CASE WHEN url_de != '' OR url_en != '' THEN 1 ELSE 0 END"
+_WD_1 = "CASE WHEN wikidata_id != '' THEN 1 ELSE 0 END"
+
+
 def linked_stats(entities: DataFrame) -> DataFrame:
     """total / wikipedia-linked / wikidata-linked counts and percents.
 
     Mirrors linker.py:307-324: wikipedia-linked iff url_de or url_en present,
-    wikidata-linked iff wikidata_id non-empty."""
-    wiki = F.when((F.col("url_de") != "") | (F.col("url_en") != ""), 1).otherwise(0)
-    wd = F.when(F.col("wikidata_id") != "", 1).otherwise(0)
+    wikidata-linked iff wikidata_id non-empty.  Measures are parsed expr
+    strings (round 8, guide §1.2 — same trees, ~10x fewer py4j calls)."""
     return entities.agg(
-        F.count("*").alias("total_entities"),
-        F.sum(wiki).alias("linked_wikipedia"),
-        F.sum(wd).alias("linked_wikidata"),
-        F.round(F.sum(wiki) * 100.0 / F.count("*"), 4).alias("wikipedia_percent"),
-        F.round(F.sum(wd) * 100.0 / F.count("*"), 4).alias("wikidata_percent"),
+        F.expr("count(*) AS total_entities"),
+        F.expr(f"sum({_WIKI_1}) AS linked_wikipedia"),
+        F.expr(f"sum({_WD_1}) AS linked_wikidata"),
+        # 100.0D: a bare 100.0 parses as DECIMAL in SQL text where the
+        # Column form's python float was a DOUBLE — the D suffix pins the
+        # identical double arithmetic and output type
+        F.expr(f"round(sum({_WIKI_1}) * 100.0D / count(*), 4) "
+               "AS wikipedia_percent"),
+        F.expr(f"round(sum({_WD_1}) * 100.0D / count(*), 4) "
+               "AS wikidata_percent"),
     )
 
 
@@ -106,17 +114,18 @@ def statistics_envelope(entities: DataFrame) -> DataFrame:
     triples-subtree aggregate + crossJoin collapse into one more measure of
     the entity agg — one scan, zero joins (guide §2.4)."""
     from . import triples as TR
-    wiki = F.when((F.col("url_de") != "") | (F.col("url_en") != ""), 1).otherwise(0)
-    wd = F.when(F.col("wikidata_id") != "", 1).otherwise(0)
     return entities.agg(
-        F.count("*").alias("total_entities"),
-        F.coalesce(F.sum(F.expr("size(" + TR.TRIPLE_STRUCTS_SQL + ")")),
-                   F.lit(0)).alias("total_relationships"),
-        F.sum(F.when(F.col("extract") != "", 1).otherwise(0)).alias("qa_pairs"),
-        F.sum(wiki).alias("linked_wikipedia"),
-        F.sum(wd).alias("linked_wikidata"),
-        F.round(F.sum(wiki) * 100.0 / F.count("*"), 4).alias("wikipedia_percent"),
-        F.round(F.sum(wd) * 100.0 / F.count("*"), 4).alias("wikidata_percent"),
+        F.expr("count(*) AS total_entities"),
+        F.expr("coalesce(sum(size(" + TR.TRIPLE_STRUCTS_SQL + ")), 0) "
+               "AS total_relationships"),
+        F.expr("sum(CASE WHEN extract != '' THEN 1 ELSE 0 END) AS qa_pairs"),
+        F.expr(f"sum({_WIKI_1}) AS linked_wikipedia"),
+        F.expr(f"sum({_WD_1}) AS linked_wikidata"),
+        # 100.0D pins double (bare 100.0 would parse as DECIMAL)
+        F.expr(f"round(sum({_WIKI_1}) * 100.0D / count(*), 4) "
+               "AS wikipedia_percent"),
+        F.expr(f"round(sum({_WD_1}) * 100.0D / count(*), 4) "
+               "AS wikidata_percent"),
     ).select(
         "total_entities", "total_relationships", "qa_pairs",
         "linked_wikipedia", "linked_wikidata",

@@ -312,12 +312,12 @@ def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     int32; the DRIVER-compared projection avoids both representation traps
     (raw doubles / narrow ints) by casting — same rule as q12's located_at."""
     e = _entities(spark, sf_dir)
-    return e.select(*ENTITY_COLS,
-                    F.col("mention_idx").cast("long").alias("mention_idx"),
-                    F.col("geo_lat").cast("string").alias("geo_lat_str"),
-                    F.col("geo_lon").cast("string").alias("geo_lon_str"),
-                    _arr_str(F.col("categories")).alias("categories_str"),
-                    _arr_str(F.col("internal_links")).alias("links_str"))
+    return e.selectExpr(*ENTITY_COLS,
+                        "cast(mention_idx AS bigint) AS mention_idx",
+                        "cast(geo_lat AS string) AS geo_lat_str",
+                        "cast(geo_lon AS string) AS geo_lon_str",
+                        "array_join(categories, '|') AS categories_str",
+                        "array_join(internal_links, '|') AS links_str")
 
 
 def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -249,6 +249,27 @@ def test_variation_array_matches_refsem_on_tricky_names(spark):
     assert sql_got == got
 
 
+def test_argmin_sql_twin_matches_column_twin(spark):
+    """_argmin_sql (the one-parse construction the IVF/kmeans paths use)
+    must produce the identical (m, centroid_id) struct as the Column-built
+    _argmin_centroid over real embeddings — float-exact, both fields."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_linker_api_v2_spark.operators import similarity as S
+    from entity_extractor_linker_api_v2_spark.sources import tables
+
+    df = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = S._collect_centroids(S.default_centroids(df))
+    m, cid = S._argmin_centroid("embedding", cents, S._neg_dot_lit)
+    col_rows = df.select("vec_id", m.alias("m"),
+                         cid.alias("centroid_id")).collect()
+    sql_rows = df.selectExpr(
+        "vec_id",
+        S._argmin_sql("embedding", cents, S._neg_dot_sql) + " AS b"
+    ).selectExpr("vec_id", "b.m AS m", "b.centroid_id AS centroid_id").collect()
+    assert sorted(map(tuple, col_rows)) == sorted(map(tuple, sql_rows))
+
+
 def test_triple_structs_sql_twin_matches_column_twin(spark):
     """TRIPLE_STRUCTS_SQL (the one-parse construction q12/q15/q16 use) must
     produce the identical per-entity edge array as the Column-built
